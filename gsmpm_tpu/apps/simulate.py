@@ -1,0 +1,216 @@
+"""Entry point #1: simulate a 3DGS scene as MPM particles and re-render.
+
+Parity target: /root/reference/main.py (simulate()) — same config files, same
+pipeline: load gaussians -> sim_area mask -> world2grid -> volumes -> MPM
+substeps per frame -> cov = F Sigma0 F^T -> grid2world -> rasterize -> PNG+mp4.
+
+TPU-native difference: the whole frame (substep scan + postprocess + inverse
+transforms + rasterization) is ONE jit-compiled function — no host round-trips
+inside a frame (the reference crosses host<->device per kernel launch and
+copies taichi->torch per frame, /root/reference/main.py:305-313).
+
+Usage:
+    python -m gsmpm_tpu.apps.simulate --config_path configs/lego.json \
+        [--output_path out] [--synthetic N] [--frames K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gsmpm_tpu.config import SimConfig
+from gsmpm_tpu.io.cameras import load_cameras
+from gsmpm_tpu.io.video import encode_mp4, save_frame
+from gsmpm_tpu.models.gaussians import GaussianScene, load_gaussians
+from gsmpm_tpu.models.synthetic import synthetic_box_scene
+from gsmpm_tpu.render.camera import Camera, make_camera, orbit_camera
+from gsmpm_tpu.render.renderer import RasterConfig, render
+from gsmpm_tpu.render.sh import rotate_sh
+from gsmpm_tpu.sim.boundary import build_boundary_conditions, make_surface_collider, BCSet
+from gsmpm_tpu.sim.coupling import (
+    apply_cov_rotations,
+    apply_inverse_cov_rotations,
+    apply_inverse_rotations,
+    apply_rotations,
+    get_center_view_worldspace_and_observant_coordinate,
+    grid2world,
+    rotation_matrices,
+    world2grid,
+)
+from gsmpm_tpu.sim.solver import postprocess, run_substeps
+from gsmpm_tpu.sim.state import GridConfig, init_model, init_state
+from gsmpm_tpu.sim.volume import particle_volume
+
+
+def load_scene(cfg: SimConfig, synthetic: Optional[int]) -> GaussianScene:
+    if synthetic:
+        return synthetic_box_scene(n=synthetic, lo=(-0.5, -0.5, 0.2), hi=(0.5, 0.5, 1.2))
+    try:
+        return load_gaussians(cfg.model.model_path, cfg.model.loaded_iter)
+    except FileNotFoundError as e:
+        raise SystemExit(
+            f"Could not load {cfg.model.model_path}: {e}\n"
+            "(checkpoints in this snapshot are git-lfs stubs; pass --synthetic N "
+            "to run on a generated scene)"
+        )
+
+
+def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
+             frames: Optional[int] = None, quiet: bool = False):
+    mpm = cfg.mpm
+    t_start = time.time()
+
+    scene = load_scene(cfg, synthetic)
+
+    # rotation pre-transform (identity by default; parity /root/reference/main.py:175-176)
+    mats = rotation_matrices(
+        list(mpm.rotation_degree)[: len(mpm.rotation_axis)], list(mpm.rotation_axis)
+    ) if any(d != 0 for d in mpm.rotation_degree) else rotation_matrices([0.0], [0])
+    rotated_xyz = apply_rotations(scene.xyz, mats)
+
+    # sim_area mask (parity /root/reference/main.py:189-194)
+    bounds = jnp.asarray(mpm.sim_area, jnp.float32)
+    sim_mask = jnp.all(
+        (rotated_xyz >= bounds[0]) & (rotated_xyz <= bounds[1]), axis=1
+    )
+    sim_idx = jnp.nonzero(sim_mask)[0]
+    n_sim = int(sim_mask.sum())
+    if not quiet:
+        print(f"Number of simulatable Gaussians: {n_sim} / {scene.num_gaussians}")
+
+    sim_means = rotated_xyz[sim_idx]
+    sim_covs = apply_cov_rotations(scene.get_covariance()[sim_idx], mats)
+
+    g_xyz, pos_center, scaling = world2grid(sim_means, mpm.grid_extent)
+    g_cov = sim_covs * (scaling * scaling)
+
+    # camera (parity /root/reference/main.py:244-268: orbit re-aim with
+    # azimuth 130, elevation 10, radius 5.75 around the grid center)
+    center_w, obs = get_center_view_worldspace_and_observant_coordinate(
+        np.array([mpm.grid_extent / 2.0] * 3, np.float32).reshape(1, 3) * 0
+        + np.array([0.5, 0.5, 0.5], np.float32),
+        np.array([0.0, 0.0, 1.0], np.float32),
+        mats,
+        scaling,
+        pos_center,
+        mpm.grid_extent,
+    )
+    if synthetic:
+        template = make_camera(800, 800, 0.8, 0.8, np.eye(3), np.zeros(3))
+    else:
+        template = load_cameras(cfg.model.model_path)[0]
+    camera = orbit_camera(template, 130.0, 10.0, 5.75, center_w, obs)
+
+    # volumes + solver state
+    vol = particle_volume(g_xyz, mpm.n_grid, mpm.grid_extent)
+    model = init_model(mpm, n_sim)
+    state = init_state(g_xyz, g_cov, vol, mpm)
+    bcs, state, model = build_boundary_conditions(
+        mpm.boundary_conditions, mpm, state, model
+    )
+    # unconditional ground collider at z=0.4 (parity quirk #10,
+    # /root/reference/main.py:276)
+    bcs = BCSet(
+        particle_ops=bcs.particle_ops,
+        grid_ops=bcs.grid_ops + (make_surface_collider((0, 0, 0.4), (0, 0, 1)),),
+    )
+
+    grid = GridConfig(mpm.n_grid, mpm.grid_extent)
+    bg = jnp.ones(3) if cfg.render.white_background else jnp.zeros(3)
+    opacity = scene.get_opacity()[sim_idx].reshape(-1)
+    features = scene.get_features()[sim_idx]
+    n_steps = mpm.steps_per_frame
+    rcfg = RasterConfig()
+
+    @jax.jit
+    def sim_frame(state, model, time_):
+        state, time_ = run_substeps(
+            state, model, bcs, time_, n_steps, grid, mpm.substep_dt,
+            mpm.incremental_cov, checkpoint_policy=None,
+        )
+        cov6_g, R = postprocess(state, rotate_sh=mpm.rotate_sh)
+        state = dataclasses.replace(state, cov=cov6_g)
+        return state, time_, R
+
+    @jax.jit
+    def render_frame(xyz_g, cov_g, R):
+        # inverse transforms back to world space (parity main.py:139-146)
+        w_xyz, w_cov = grid2world(xyz_g, cov_g, scaling, pos_center, mpm.grid_extent)
+        w_xyz = apply_inverse_rotations(w_xyz, mats)
+        w_cov = apply_inverse_cov_rotations(w_cov, mats)
+        shs = features
+        if mpm.rotate_sh and R is not None:
+            shs = rotate_sh(features, jnp.swapaxes(R, -1, -2), scene.sh_degree)
+        return render(
+            w_xyz, w_cov, opacity, shs, camera, bg, scene.sh_degree, rcfg
+        )
+
+    out_dir = cfg.render.output_path or "outputs/run"
+    images_dir = os.path.join(out_dir, "images")
+    os.makedirs(images_dir, exist_ok=True)
+
+    num_frames = frames if frames is not None else cfg.render.num_frames
+    t_sim = jnp.float32(0.0)
+    frames_np = []
+
+    img = render_frame(state.x, state.cov, None)
+    save_frame(np.asarray(img), images_dir, 0)
+    frames_np.append(np.asarray(img))
+
+    for fid in range(1, num_frames + 1):
+        t0 = time.time()
+        state, t_sim, R = sim_frame(state, model, t_sim)
+        img = render_frame(state.x, state.cov, R)
+        img.block_until_ready()
+        save_frame(np.asarray(img), images_dir, fid)
+        frames_np.append(np.asarray(img))
+
+        if cfg.render.save_pcd and fid % cfg.render.save_pcd_interval == 0:
+            w_xyz, _ = grid2world(
+                state.x, state.cov, scaling, pos_center, mpm.grid_extent
+            )
+            w_xyz = apply_inverse_rotations(w_xyz, mats)
+            displaced = dataclasses.replace(
+                scene, xyz=scene.xyz.at[sim_idx].set(w_xyz)
+            )
+            displaced.save_ply(
+                os.path.join(
+                    out_dir, "point_cloud", f"iteration_{fid}", "point_cloud.ply"
+                )
+            )
+        if not quiet:
+            print(f"frame {fid}/{num_frames}  {time.time()-t0:.2f}s", flush=True)
+
+    if encode_mp4(images_dir, os.path.join(out_dir, "simulated.mp4")):
+        if not quiet:
+            print(f"wrote {out_dir}/simulated.mp4")
+    if not quiet:
+        print(f"Done in {time.time()-t_start:.1f}s.")
+    return frames_np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=True)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--synthetic", type=int, default=None,
+                        help="run on a generated scene with N gaussians")
+    parser.add_argument("--frames", type=int, default=None,
+                        help="override render.num_frames")
+    args, remaining = parser.parse_known_args(argv)
+    cfg = SimConfig.from_json(args.config_path).override_from_args(remaining)
+    simulate(cfg, synthetic=args.synthetic, frames=args.frames)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""PLY round-trips, synthetic scenes, camera loading."""
+
+import numpy as np
+import pytest
+
+from gsmpm_tpu.io.ply import (
+    read_gaussian_ply,
+    write_gaussian_ply,
+    write_particle_ply,
+    read_particle_ply,
+)
+from gsmpm_tpu.io.cameras import load_cameras
+from gsmpm_tpu.models.gaussians import GaussianScene, search_for_max_iteration
+from gsmpm_tpu.models.synthetic import synthetic_box_scene
+
+
+def test_gaussian_ply_roundtrip(tmp_path):
+    scene = synthetic_box_scene(n=128, seed=1)
+    path = str(tmp_path / "point_cloud.ply")
+    scene.save_ply(path)
+    back = GaussianScene.from_ply(path)
+    np.testing.assert_allclose(np.asarray(back.xyz), np.asarray(scene.xyz), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back.features_rest), np.asarray(scene.features_rest), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.rotation), np.asarray(scene.rotation), rtol=1e-6
+    )
+    assert back.features_dc.shape == (128, 1, 3)
+    assert back.features_rest.shape == (128, 15, 3)
+
+
+def test_particle_ply_roundtrip(tmp_path):
+    pos = np.random.default_rng(0).normal(size=(77, 3)).astype(np.float32)
+    path = str(tmp_path / "parts.ply")
+    write_particle_ply(path, pos)
+    back = read_particle_ply(path)
+    np.testing.assert_array_equal(back, pos)
+
+
+def test_lfs_stub_rejected():
+    with pytest.raises(FileNotFoundError, match="git-lfs stub"):
+        read_gaussian_ply(
+            "/root/reference/models/lego/point_cloud/iteration_7000/point_cloud.ply"
+        )
+
+
+def test_search_for_max_iteration(tmp_path):
+    for it in (100, 7000, 30):
+        (tmp_path / f"iteration_{it}").mkdir()
+    assert search_for_max_iteration(str(tmp_path)) == 7000
+
+
+def test_load_reference_cameras():
+    cams = load_cameras("/root/reference/models/lego")
+    assert len(cams) == 300
+    cam = cams[0]
+    assert cam.width == 800 and cam.height == 800
+    # view matrix is a rigid transform: R orthonormal
+    R = np.asarray(cam.view)[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # camera center maps to origin of view space
+    p = np.asarray(cam.view) @ np.append(np.asarray(cam.campos), 1.0)
+    np.testing.assert_allclose(p[:3], 0.0, atol=1e-4)
+
+
+def test_activations():
+    scene = synthetic_box_scene(n=64, seed=2)
+    cov = np.asarray(scene.get_covariance())
+    assert cov.shape == (64, 6)
+    # covariances are PSD: diagonal entries positive, det >= 0
+    from gsmpm_tpu.sim.coupling import mat_from_upper
+
+    mats = np.asarray(mat_from_upper(scene.get_covariance()))
+    eig = np.linalg.eigvalsh(mats)
+    assert (eig > -1e-10).all()
+    op = np.asarray(scene.get_opacity())
+    assert ((op > 0) & (op < 1)).all()
