@@ -1,0 +1,160 @@
+"""Entry point #2: system identification — learn E, nu from video.
+
+Parity target: /root/reference/extra.py — alternating optimization where frame
+0 refines gaussian appearance (Adam) and frames 1..N-1 backprop a photometric
+loss through 30 differentiable MPM substeps + rendering into per-particle
+logE, y (clipped SGD, lr 0.8/1.6).
+
+The reference's training data (data_extra/mpm_synthetic) is not in the repo
+snapshot and its torus gaussians are git-lfs stubs, so this app generates its
+own ground truth: simulate the scene with known (E*, nu*), render the frames,
+then recover E, nu starting from the config's initial values.
+
+Usage:
+    python -m gsmpm_tpu.apps.identify --scene torus --output_path outputs_extra/run \
+        [--synthetic N] [--iters I] [--E_true 1e5 --nu_true 0.3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsmpm_tpu.config import MPMConfig
+from gsmpm_tpu.models.gaussians import GaussianScene
+from gsmpm_tpu.models.synthetic import synthetic_blob_scene
+from gsmpm_tpu.render.camera import make_camera
+from gsmpm_tpu.render.renderer import RasterConfig
+from gsmpm_tpu.sim.fitting import FitConfig, SystemIdentifier
+
+# parity: extra.py:43-64 constants
+MODEL_ROOT = "models_extra"
+IMAGE_WH = 512
+TRAIN_NUM_FRAMES = 20
+TOTAL_ITERS = 300
+
+
+def load_scene_and_velocity(scene_name: str, synthetic: int | None):
+    model_path = os.path.join(MODEL_ROOT, scene_name)
+    scene = None
+    if not synthetic:
+        ply = os.path.join(model_path, "static_gaussians", "point_cloud.ply")
+        try:
+            scene = GaussianScene.from_ply(ply)
+        except (FileNotFoundError, ValueError):
+            print(f"({ply} unavailable; using a synthetic blob scene)")
+    if scene is None:
+        scene = synthetic_blob_scene(n=synthetic or 2048, radius=0.4, center=(0.0, 0.8, 0.0))
+    # throw the object downward so it impacts the sticky ground inside the
+    # training window — free flight alone carries no stiffness signal
+    init_v = jnp.tile(jnp.asarray([0.0, -2.0, 0.0], jnp.float32)[None, :],
+                      (scene.num_gaussians, 1))
+    vel_path = os.path.join(model_path, "init_velocity.json")
+    if os.path.exists(vel_path):
+        with open(vel_path) as f:
+            v = json.load(f)
+        init_v = jnp.tile(jnp.asarray(v, jnp.float32)[None, :], (scene.num_gaussians, 1))
+    return scene, init_v
+
+
+def identify(args):
+    scene, init_v = load_scene_and_velocity(args.scene, args.synthetic)
+
+    mpm_cfg = MPMConfig(
+        material="jelly",
+        E=args.E_init,
+        nu=args.nu_init,
+        # parity extra.py:56-59: grid 50^3 extent 2, gravity -y
+        n_grid=50,
+        grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0],
+        fitting=True,
+    )
+    rcfg = RasterConfig(block=64, k_block=min(512, scene.num_gaussians), chunk=64)
+    ident = SystemIdentifier(
+        scene, mpm_cfg, init_velocity=init_v, raster_cfg=rcfg,
+        fit_cfg=FitConfig(),
+    )
+
+    # cameras: a ring around the scene (the reference loads data_extra
+    # camera.json; synthetic GT uses its own ring)
+    cameras = []
+    center = np.asarray(scene.xyz.mean(0))
+    for az in range(0, 360, 45):
+        a = np.deg2rad(az)
+        pos = center + 3.0 * np.array([np.cos(a), 0.25, np.sin(a)])
+        fwd = center - pos
+        fwd = fwd / np.linalg.norm(fwd)
+        down = np.array([0.0, -1.0, 0.0])
+        y = down - np.dot(down, fwd) * fwd
+        y = y / np.linalg.norm(y)
+        x = np.cross(y, fwd)
+        R = np.column_stack([x, y, fwd])
+        cameras.append(
+            make_camera(args.resolution, args.resolution, 0.7, 0.7, R, pos)
+        )
+
+    n_frames = args.frames
+    print(f"Generating ground truth with E*={args.E_true:g}, nu*={args.nu_true:g}")
+    gt = ident.generate_ground_truth(args.E_true, args.nu_true, cameras, n_frames)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    log_path = os.path.join(args.output_path, "metrics.csv")
+    writer = csv.writer(open(log_path, "w", newline=""))
+    writer.writerow(["iteration", "frame", "loss", "optimized_E", "optimized_nu"])
+
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.output_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+
+    for iteration in range(1, args.iters + 1):
+        state = ident.reset_state()
+        t = jnp.float32(0.0)
+        for fid in range(1, n_frames):
+            t0 = time.time()
+            loss, state, t, _ = ident.fit_frame(state, t, cameras[fid % len(cameras)], gt[fid])
+            E, nu = ident.optimized_E, ident.optimized_nu
+            step = iteration * (n_frames - 1) + fid
+            writer.writerow([iteration, fid, float(loss), E, nu])
+            if tb:
+                tb.add_scalar("loss_total", float(loss), step)
+                tb.add_scalar("optimized_E", E, step)
+                tb.add_scalar("optimized_nu", nu, step)
+            print(
+                f"iter {iteration} frame {fid}: loss={float(loss):.5f} "
+                f"E={E:.4g} nu={nu:.4f} ({time.time()-t0:.2f}s)",
+                flush=True,
+            )
+    print(f"Final: E={ident.optimized_E:.6g} nu={ident.optimized_nu:.4f} "
+          f"(true: {args.E_true:g}, {args.nu_true:g})")
+    return ident
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=str, default="torus")
+    p.add_argument("--output_path", type=str, default="outputs_extra/torus_debug")
+    p.add_argument("--synthetic", type=int, default=None)
+    p.add_argument("--iters", type=int, default=TOTAL_ITERS)
+    p.add_argument("--frames", type=int, default=TRAIN_NUM_FRAMES)
+    p.add_argument("--resolution", type=int, default=IMAGE_WH)
+    p.add_argument("--E_true", type=float, default=1e5)
+    p.add_argument("--nu_true", type=float, default=0.3)
+    p.add_argument("--E_init", type=float, default=2e6)
+    p.add_argument("--nu_init", type=float, default=0.4)
+    args = p.parse_args(argv)
+    identify(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""System identification: learn E, nu by gradient descent through sim+render.
+
+Parity target: SystemIndentifier (/root/reference/extra.py:69-348).  The
+reference glues Taichi autodiff (30 hand-driven adjoint substeps,
+solver.py:71-90) to torch autograd via a grad copy (extra.py:226-228); here the
+whole thing is one jax.value_and_grad through a lax.scan of substeps and the
+differentiable rasterizer, with jax.checkpoint giving the reference's own
+memory policy (store particles, rematerialize the grid — solver.py:74-78).
+
+The physical parameterization matches the reference exactly: per-particle
+logE, y with E = 10^logE, nu = 0.49*sigmoid(y)
+(/root/reference/mpm_solver/utils.py:349-362), updated by per-particle clipped
+SGD with lr 0.8 / 1.6 (solver.learn, /root/reference/mpm_solver/solver.py:92-108).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsmpm_tpu.config import MPMConfig
+from gsmpm_tpu.models.gaussians import GaussianScene
+from gsmpm_tpu.ops.losses import photometric_loss
+from gsmpm_tpu.render.camera import Camera
+from gsmpm_tpu.render.renderer import RasterConfig, render
+from gsmpm_tpu.sim.boundary import BCSet, StickyGroundBC
+from gsmpm_tpu.sim.coupling import grid2world, mat_from_upper, upper_from_mat, world2grid
+from gsmpm_tpu.sim.solver import run_substeps
+from gsmpm_tpu.sim.state import (
+    GridConfig,
+    MPMModel,
+    MPMState,
+    init_model,
+    init_state,
+    mu_lam_from_logE_y,
+)
+from gsmpm_tpu.sim.volume import particle_volume
+
+
+class FitConfig(NamedTuple):
+    substeps_per_frame: int = 30  # parity extra.py:206
+    frame_dt: float = 0.03
+    lr_logE: float = 0.8  # parity solver.py:107
+    lr_y: float = 1.6  # parity solver.py:108
+    grad_clip: float = 1.0  # parity solver.py:96-105
+    world_pad: float = 0.3  # parity extra.py:320
+
+
+def sgd_learn(logE, y, g_logE, g_y, cfg: FitConfig):
+    """Per-particle clipped SGD (parity: MPM_Simulator.learn).
+
+    Non-finite gradients (e.g. from a CFL-unstable forward) are dropped rather
+    than propagated — the NaN-guard the reference lacks (SURVEY §5).
+    """
+    c = cfg.grad_clip
+    g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
+    g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
+    return logE - cfg.lr_logE * g_logE, y - cfg.lr_y * g_y
+
+
+class SystemIdentifier:
+    """Fit per-particle logE, y to observed frames by differentiable sim+render."""
+
+    def __init__(
+        self,
+        scene: GaussianScene,
+        mpm_cfg: MPMConfig,
+        init_velocity: Optional[jnp.ndarray] = None,
+        fit_cfg: FitConfig = FitConfig(),
+        raster_cfg: RasterConfig = RasterConfig(),
+        bg: Optional[jnp.ndarray] = None,
+    ):
+        self.scene = scene
+        self.mpm_cfg = dataclasses.replace(mpm_cfg, fitting=True)
+        self.fit_cfg = fit_cfg
+        self.raster_cfg = raster_cfg
+        self.bg = jnp.ones(3) if bg is None else bg
+        self.grid = GridConfig(mpm_cfg.n_grid, mpm_cfg.grid_extent)
+
+        n = scene.num_gaussians
+        self.init_velocity = (
+            jnp.zeros((n, 3), jnp.float32) if init_velocity is None else init_velocity
+        )
+        self.model = init_model(self.mpm_cfg, n)
+        self._frame_fn = None
+
+    # --- setup per optimization iteration (parity extra.py:177-190) ---
+
+    def reset_state(self) -> MPMState:
+        xyz_w = self.scene.xyz
+        cov_w = self.scene.get_covariance()
+        g_xyz, self.pos_center, self.scaling = world2grid(
+            xyz_w, self.mpm_cfg.grid_extent, pad=self.fit_cfg.world_pad
+        )
+        g_cov = cov_w * (self.scaling * self.scaling)
+        vol = particle_volume(g_xyz, self.mpm_cfg.n_grid, self.mpm_cfg.grid_extent)
+        state = init_state(g_xyz, g_cov, vol, self.mpm_cfg, self.init_velocity)
+        self.bcs = BCSet(grid_ops=(StickyGroundBC(),))  # parity extra.py:190
+        return state
+
+    # --- the differentiable frame ---
+
+    def _build_frame_fn(self):
+        mpm, grid, fcfg = self.mpm_cfg, self.grid, self.fit_cfg
+        dt = fcfg.frame_dt / fcfg.substeps_per_frame
+        n_sub = fcfg.substeps_per_frame
+        bcs = self.bcs
+        bg, rcfg = self.bg, self.raster_cfg
+        opacity = self.scene.get_opacity().reshape(-1)
+        features = self.scene.get_features()
+        sh_degree = self.scene.sh_degree
+        base_model = self.model
+
+        def frame_loss(logE, y, state, t, camera, gt, scaling, pos_center):
+            mu, lam = mu_lam_from_logE_y(logE, y)
+            model = dataclasses.replace(base_model, logE=logE, y=y, mu=mu, lam=lam)
+            state, t = run_substeps(
+                state, model, bcs, t, n_sub, grid, dt,
+                fitting=True, checkpoint_policy="substep",
+            )
+            # postprocess_forward parity: cov from F at the final substep
+            # (/root/reference/mpm_solver/utils.py:435-467)
+            F = state.F
+            cov6 = upper_from_mat(
+                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+            )
+            xyz_w, cov_w = grid2world(
+                state.x, cov6, scaling, pos_center, mpm.grid_extent
+            )
+            img = render(
+                xyz_w, cov_w, opacity, features, camera, bg, sh_degree, rcfg
+            )
+            loss = photometric_loss(img, gt)
+            return loss, (state, t, img)
+
+        self._frame_fn = jax.jit(
+            jax.value_and_grad(frame_loss, argnums=(0, 1), has_aux=True)
+        )
+
+    def fit_frame(self, state, t, camera: Camera, gt_image):
+        """One observed frame: forward 30 substeps + render, backward, SGD.
+
+        Returns (loss, new_state, new_t, rendered_image); updates self.model's
+        logE/y in place (functional replace).
+        """
+        if self._frame_fn is None:
+            self._build_frame_fn()
+        (loss, (state, t, img)), (g_logE, g_y) = self._frame_fn(
+            self.model.logE, self.model.y, state, t, camera, gt_image,
+            self.scaling, self.pos_center,
+        )
+        logE, y = sgd_learn(self.model.logE, self.model.y, g_logE, g_y, self.fit_cfg)
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        self.model = dataclasses.replace(self.model, logE=logE, y=y, mu=mu, lam=lam)
+        return loss, state, t, img
+
+    # --- readout (parity extra.py:248-249) ---
+
+    @property
+    def optimized_E(self) -> float:
+        return float(10.0 ** self.model.logE.mean())
+
+    @property
+    def optimized_nu(self) -> float:
+        return float(0.49 / (1.0 + np.exp(-float(self.model.y.mean()))))
+
+    # --- ground-truth generation (the repo ships no data_extra assets;
+    #     GT comes from simulating with known E*, nu* and rendering) ---
+
+    def generate_ground_truth(
+        self, E_true: float, nu_true: float, cameras: Sequence[Camera], n_frames: int
+    ):
+        from gsmpm_tpu.sim.state import logE_y_from_E_nu
+
+        logE0, y0 = logE_y_from_E_nu(E_true, nu_true)
+        n = self.scene.num_gaussians
+        logE = jnp.full((n,), logE0, jnp.float32)
+        y = jnp.full((n,), y0, jnp.float32)
+        state = self.reset_state()
+        if self._frame_fn is None:
+            self._build_frame_fn()
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        model = dataclasses.replace(self.model, logE=logE, y=y, mu=mu, lam=lam)
+        mpm, grid, fcfg = self.mpm_cfg, self.grid, self.fit_cfg
+        dt = fcfg.frame_dt / fcfg.substeps_per_frame
+
+        @jax.jit
+        def gt_frame(state, t, camera):
+            state, t = run_substeps(
+                state, model, self.bcs, t, fcfg.substeps_per_frame, grid, dt,
+                fitting=True, checkpoint_policy=None,
+            )
+            F = state.F
+            cov6 = upper_from_mat(
+                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+            )
+            xyz_w, cov_w = grid2world(
+                state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
+            )
+            img = render(
+                xyz_w, cov_w,
+                self.scene.get_opacity().reshape(-1),
+                self.scene.get_features(),
+                camera, self.bg, self.scene.sh_degree, self.raster_cfg,
+            )
+            return state, t, img
+
+        @jax.jit
+        def render_now(state, camera):
+            F = state.F
+            cov6 = upper_from_mat(
+                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+            )
+            xyz_w, cov_w = grid2world(
+                state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
+            )
+            return render(
+                xyz_w, cov_w,
+                self.scene.get_opacity().reshape(-1),
+                self.scene.get_features(),
+                camera, self.bg, self.scene.sh_degree, self.raster_cfg,
+            )
+
+        # frame 0 observes the initial configuration; frame f observes the
+        # state after f*substeps_per_frame substeps
+        frames = [render_now(state, cameras[0])]
+        t = jnp.float32(0.0)
+        for fid in range(1, n_frames):
+            cam = cameras[fid % len(cameras)]
+            state, t, img = gt_frame(state, t, cam)
+            frames.append(img)
+        return frames
+
+    # --- frame-0 appearance refinement (parity extra.py:198-203,308-316) ---
+
+    def make_appearance_optimizer(self, spatial_lr_scale: float = 1.0):
+        """Adam over raw gaussian params with the reference's per-group lrs."""
+        import optax
+
+        lrs = {
+            "xyz": 0.0000016 * spatial_lr_scale,
+            "features_dc": 0.0025,
+            "features_rest": 0.0025 / 20.0,
+            "opacity": 0.05,
+            "scaling": 0.005,
+        }
+
+        def label_fn(params):
+            return {k: k for k in params}
+
+        tx = optax.multi_transform(
+            {k: optax.adam(lr, eps=1e-15) for k, lr in lrs.items()}, label_fn
+        )
+        params = {
+            "xyz": self.scene.xyz,
+            "features_dc": self.scene.features_dc,
+            "features_rest": self.scene.features_rest,
+            "opacity": self.scene.opacity,
+            "scaling": self.scene.scaling,
+        }
+        return tx, params, tx.init(params)
+
+    def appearance_step(self, tx, params, opt_state, camera: Camera, gt_image):
+        """One Adam step on appearance from the frame-0 observation."""
+        rotation = self.scene.rotation
+        sh_degree = self.scene.sh_degree
+        bg, rcfg = self.bg, self.raster_cfg
+
+        def loss_fn(p):
+            sc = GaussianScene(
+                xyz=p["xyz"],
+                features_dc=p["features_dc"],
+                features_rest=p["features_rest"],
+                opacity=p["opacity"],
+                scaling=p["scaling"],
+                rotation=rotation,
+                sh_degree=sh_degree,
+            )
+            img = render(
+                sc.xyz, sc.get_covariance(), sc.get_opacity().reshape(-1),
+                sc.get_features(), camera, bg, sh_degree, rcfg,
+            )
+            return photometric_loss(img, gt_image)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        import optax
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        self.scene = dataclasses.replace(
+            self.scene,
+            xyz=params["xyz"],
+            features_dc=params["features_dc"],
+            features_rest=params["features_rest"],
+            opacity=params["opacity"],
+            scaling=params["scaling"],
+        )
+        return loss, params, opt_state

@@ -222,7 +222,13 @@ def substep(
             grid_v = op.apply_grid(grid_v, coords, time, dt, grid.dx)
 
     # G2P
-    return g2p(state, grid_v, grid, dt, incremental_cov)
+    state = g2p(state, grid_v, grid, dt, incremental_cov)
+    if fitting:
+        # fitting path advances F directly, no return map
+        # (parity: g2p_opt writes particle_F[s+1] = (I + grad_v dt) F[s],
+        # /root/reference/mpm_solver/utils.py:344)
+        state = dataclasses.replace(state, F=state.F_trial)
+    return state
 
 
 def run_substeps(
