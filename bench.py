@@ -1,0 +1,166 @@
+"""Benchmark: MPM substeps/s/chip + splat Mpix/s/chip on lego_elastic scale.
+
+Workload shape follows BASELINE.md (the reference publishes no numbers, so
+the baseline is self-measured): ~240k particles, 50^3 grid, 100 substeps per
+frame, fixed-corotated jelly; rendering at 800x800 with ~240k gaussians.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+vs_baseline is measured-value / recorded-baseline from BENCH_BASELINE.json if
+present (written after the first real-TPU run), else 1.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_problem(n_particles: int, n_grid: int, res: int):
+    import jax.numpy as jnp
+
+    from gsmpm_tpu.config import MPMConfig
+    from gsmpm_tpu.models.synthetic import synthetic_box_scene
+    from gsmpm_tpu.render.camera import make_camera
+    from gsmpm_tpu.sim.boundary import BCSet, make_surface_collider
+    from gsmpm_tpu.sim.coupling import world2grid
+    from gsmpm_tpu.sim.state import GridConfig, init_model, init_state
+    from gsmpm_tpu.sim.volume import particle_volume
+
+    cfg = MPMConfig(
+        E=2e5, nu=0.3, material="jelly", n_grid=n_grid, grid_extent=2.0,
+        substep_dt=1e-4, frame_dt=1e-2, density=200.0,
+    )
+    scene = synthetic_box_scene(
+        n=n_particles, lo=(-0.5, -0.5, 0.2), hi=(0.5, 0.5, 1.2)
+    )
+    g_xyz, pos_center, scaling = world2grid(scene.xyz, cfg.grid_extent)
+    g_cov = scene.get_covariance() * (scaling * scaling)
+    vol = particle_volume(g_xyz, cfg.n_grid, cfg.grid_extent)
+    state = init_state(g_xyz, g_cov, vol, cfg)
+    model = init_model(cfg, n_particles)
+    bcs = BCSet(grid_ops=(make_surface_collider((0, 0, 0.4), (0, 0, 1)),))
+    grid = GridConfig(cfg.n_grid, cfg.grid_extent)
+    camera = make_camera(
+        res, res, 0.8, 0.8, np.eye(3), np.array([0.0, 0.0, -3.0])
+    )
+    return cfg, scene, state, model, bcs, grid, camera, scaling, pos_center
+
+
+def bench_mpm(cfg, state, model, bcs, grid, substeps_per_frame, n_frames):
+    import jax
+    import jax.numpy as jnp
+
+    from gsmpm_tpu.sim.solver import postprocess, run_substeps
+
+    @jax.jit
+    def frame(state, t):
+        state, t = run_substeps(
+            state, model, bcs, t, substeps_per_frame, grid, cfg.substep_dt,
+            checkpoint_policy=None,
+        )
+        cov6, _ = postprocess(state)
+        return dataclasses.replace(state, cov=cov6), t
+
+    t_sim = jnp.float32(0.0)
+    state, t_sim = frame(state, t_sim)  # compile + warmup
+    jax.block_until_ready(state.x)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        state, t_sim = frame(state, t_sim)
+    jax.block_until_ready(state.x)
+    dt_wall = time.perf_counter() - t0
+    assert bool(np.isfinite(np.asarray(state.x)).all()), "sim diverged"
+    return substeps_per_frame * n_frames / dt_wall, state
+
+
+def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
+    import jax
+    import jax.numpy as jnp
+
+    from gsmpm_tpu.render.renderer import RasterConfig, render
+    from gsmpm_tpu.sim.coupling import grid2world
+
+    rcfg = RasterConfig()
+    bg = jnp.zeros(3)
+    opacity = scene.get_opacity().reshape(-1)
+    features = scene.get_features()
+
+    @jax.jit
+    def frame(xyz_g, cov_g):
+        xyz_w, cov_w = grid2world(
+            xyz_g, cov_g, scaling, pos_center, cfg.grid_extent
+        )
+        return render(
+            xyz_w, cov_w, opacity, features, camera, bg, scene.sh_degree, rcfg
+        )
+
+    img = frame(state.x, state.cov)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = frame(state.x, state.cov)
+    jax.block_until_ready(img)
+    dt_wall = time.perf_counter() - t0
+    mpix = camera.width * camera.height * n_frames / 1e6
+    return mpix / dt_wall, img
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=245760)
+    ap.add_argument("--n_grid", type=int, default=50)
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--substeps", type=int, default=100)
+    ap.add_argument("--sim_frames", type=int, default=3)
+    ap.add_argument("--render_frames", type=int, default=3)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny CPU-friendly smoke-test sizes")
+    args = ap.parse_args()
+    if args.small:
+        args.particles, args.n_grid, args.res = 4096, 24, 128
+        args.substeps, args.sim_frames, args.render_frames = 10, 2, 2
+
+    (cfg, scene, state, model, bcs, grid, camera, scaling, pos_center) = (
+        build_problem(args.particles, args.n_grid, args.res)
+    )
+
+    substeps_per_s, state = bench_mpm(
+        cfg, state, model, bcs, grid, args.substeps, args.sim_frames
+    )
+    mpix_per_s, _ = bench_render(
+        scene, state, camera, scaling, pos_center, cfg, args.render_frames
+    )
+
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                baseline = json.load(f).get("mpm_substeps_per_s")
+        except Exception:
+            baseline = None
+    vs = substeps_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "mpm_substeps_per_s_per_chip",
+        "value": round(substeps_per_s, 2),
+        "unit": "substeps/s",
+        "vs_baseline": round(vs, 3),
+        "extra": {
+            "splat_mpix_per_s_per_chip": round(mpix_per_s, 2),
+            "particles": args.particles,
+            "n_grid": args.n_grid,
+            "res": args.res,
+            "substeps_per_frame": args.substeps,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,289 @@
+"""shard_map'd sim / render / fit steps over a jax.sharding.Mesh.
+
+Parallel decomposition (SURVEY.md §2.3 — all new; the reference is
+single-GPU):
+
+- MPM substeps: particles sharded over the ``data`` axis; each chip scatters
+  its partial P2G grid and the dense grid is ``psum``-reduced over ICI
+  (solver.substep already takes ``axis_name``).  The grid is small (n_grid^3
+  <= 1M nodes) so replicate-and-reduce beats halo bookkeeping until very
+  large grids.
+- Rendering: gaussians ``all_gather``-ed over ``data``, pixel blocks sharded
+  over the ``tile`` axis (each chip blends a contiguous slice of the block
+  grid from render_blocks), rows gathered back.
+- System-ID: one jax.value_and_grad THROUGH the shard_map — per-particle
+  logE/y gradients come out shard-local (no all-reduce needed; the reference
+  reduces to scalar E, nu only at readout, /root/reference/extra.py:248-249);
+  pixel gradients reverse through the all_gather as psum_scatter, grid
+  adjoints reverse through psum automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gsmpm_tpu.ops.losses import photometric_loss
+from gsmpm_tpu.render.camera import Camera
+from gsmpm_tpu.render.renderer import (
+    RasterConfig,
+    assemble_blocks,
+    block_origins,
+    preprocess,
+    render_blocks,
+)
+from gsmpm_tpu.sim.coupling import grid2world, mat_from_upper, upper_from_mat
+from gsmpm_tpu.sim.solver import postprocess, run_substeps
+from gsmpm_tpu.sim.state import GridConfig, mu_lam_from_logE_y
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _gather_particles(tree, axis: str):
+    """all_gather shard-local per-particle arrays back to full arrays."""
+    return jax.tree.map(
+        lambda l: jax.lax.all_gather(l, axis, axis=0, tiled=True), tree
+    )
+
+
+def _render_tile_sharded(
+    means3d,
+    cov6,
+    opacity,
+    shs,
+    camera: Camera,
+    bg,
+    sh_degree: int,
+    rcfg: RasterConfig,
+    tile_axis: Optional[str],
+):
+    """Full-image render with pixel blocks sharded over ``tile_axis``.
+
+    Runs inside shard_map; inputs must already be full (gathered) arrays.
+    """
+    pre = preprocess(means3d, cov6, opacity, shs, camera, sh_degree, rcfg)
+    key = jnp.where(pre.valid, pre.depth, jnp.inf)
+    order = jnp.argsort(key)
+    origins, nbx, nby = block_origins(camera, rcfg)
+    nb = origins.shape[0]
+    if tile_axis is None:
+        blocks = render_blocks(pre, order, origins, bg, rcfg)
+        return assemble_blocks(blocks, camera, rcfg)
+
+    n_tiles = jax.lax.axis_size(tile_axis)
+    tid = jax.lax.axis_index(tile_axis)
+    nb_pad = -(-nb // n_tiles) * n_tiles
+    origins_p = jnp.pad(origins, ((0, nb_pad - nb), (0, 0)))
+    nb_local = nb_pad // n_tiles
+    local = jax.lax.dynamic_slice_in_dim(origins_p, tid * nb_local, nb_local, 0)
+    blocks_local = render_blocks(pre, order, local, bg, rcfg)
+    blocks = jax.lax.all_gather(blocks_local, tile_axis, axis=0, tiled=True)[:nb]
+    return assemble_blocks(blocks, camera, rcfg)
+
+
+# ---------------------------------------------------------------------------
+# sharded sim frame (entry point #1 scaling path)
+# ---------------------------------------------------------------------------
+
+def make_sharded_frame_fn(
+    mesh: Mesh,
+    example_state,
+    example_model,
+    bcs,
+    grid: GridConfig,
+    dt: float,
+    n_substeps: int,
+    incremental_cov: bool = False,
+    rotate_sh: bool = False,
+    data_axis: str = "data",
+):
+    """jit-compiled (state, model, t) -> (state, t, R) with particles sharded.
+
+    Particle count must be divisible by the data-axis size
+    (pad with parallel.mesh.pad_particles first).
+    """
+    from gsmpm_tpu.parallel.mesh import particle_pspec
+
+    n = example_state.x.shape[0]
+    axes = mesh.axis_names
+    st_spec = particle_pspec(example_state, n, data_axis)
+    md_spec = particle_pspec(example_model, n, data_axis)
+
+    def local(state, model, t):
+        state, t = run_substeps(
+            state, model, bcs, t, n_substeps, grid, dt,
+            incremental_cov=incremental_cov, axis_name=data_axis,
+            checkpoint_policy=None,
+        )
+        cov6, R = postprocess(state, rotate_sh=rotate_sh)
+        state = dataclasses.replace(state, cov=cov6)
+        if R is None:
+            R = jnp.zeros((state.x.shape[0], 3, 3), state.x.dtype)
+        return state, t, R
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(st_spec, md_spec, P()),
+        out_specs=(st_spec, P(), P(data_axis, None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# sharded render (gaussians sharded in, tiles sharded compute)
+# ---------------------------------------------------------------------------
+
+def make_sharded_render_fn(
+    mesh: Mesh,
+    n_gaussians: int,
+    camera: Camera,
+    bg,
+    sh_degree: int,
+    rcfg: RasterConfig = RasterConfig(),
+    data_axis: str = "data",
+    tile_axis: Optional[str] = "tile",
+):
+    """jit fn(means3d, cov6, opacity, shs) -> (H,W,3), fully sharded.
+
+    Inputs are sharded over ``data_axis`` (leading axis divisible by its
+    size); the image is computed tile-sharded and returned replicated.
+    """
+    tile = tile_axis if (tile_axis in mesh.axis_names) else None
+
+    def local(means3d, cov6, opacity, shs):
+        full = _gather_particles((means3d, cov6, opacity, shs), data_axis)
+        means3d, cov6, opacity, shs = full
+        return _render_tile_sharded(
+            means3d, cov6, opacity, shs, camera, bg, sh_degree, rcfg, tile
+        )
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None),
+            P(data_axis, None),
+            P(data_axis),
+            P(data_axis, None, None),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# sharded system-ID step (entry point #2 scaling path)
+# ---------------------------------------------------------------------------
+
+def make_sharded_fit_step(
+    mesh: Mesh,
+    example_state,
+    example_model,
+    bcs,
+    grid: GridConfig,
+    frame_dt: float,
+    n_substeps: int,
+    camera: Camera,
+    bg,
+    opacity,
+    features,
+    sh_degree: int,
+    scaling,
+    pos_center,
+    grid_extent: float,
+    lr_logE: float = 0.8,
+    lr_y: float = 1.6,
+    grad_clip: float = 1.0,
+    data_axis: str = "data",
+    tile_axis: Optional[str] = "tile",
+):
+    """One full sharded training step of system identification.
+
+    jit fn(logE, y, state, t, gt_image) ->
+        (loss, new_logE, new_y, new_state, new_t, image)
+
+    Differentiable sim (fitting semantics: StVK Green-strain stress, no
+    return map — parity /root/reference/mpm_solver/solver.py:54-69) through
+    the tile-sharded renderer, followed by the reference's clipped
+    per-particle SGD (solver.learn, solver.py:92-108) — all inside one
+    compiled program. logE/y and their gradients stay shard-local.
+    """
+    from gsmpm_tpu.parallel.mesh import particle_pspec
+
+    n = example_state.x.shape[0]
+    dt = frame_dt / n_substeps
+    tile = tile_axis if (tile_axis in mesh.axis_names) else None
+    base_model = example_model
+    st_spec = particle_pspec(example_state, n, data_axis)
+    vec_spec = P(data_axis)
+
+    def local(logE, y, state, t, opac_l, feat_l, gt):
+        def frame_loss(logE, y, state, t):
+            mu, lam = mu_lam_from_logE_y(logE, y)
+            model = dataclasses.replace(
+                base_model, logE=logE, y=y, mu=mu, lam=lam
+            )
+            state, t = run_substeps(
+                state, model, bcs, t, n_substeps, grid, dt,
+                fitting=True, axis_name=data_axis,
+                checkpoint_policy="substep",
+            )
+            F = state.F
+            cov6 = upper_from_mat(
+                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+            )
+            xyz_w, cov_w = grid2world(
+                state.x, cov6, scaling, pos_center, grid_extent
+            )
+            xyz_w, cov_w, opac, feat = _gather_particles(
+                (xyz_w, cov_w, opac_l, feat_l), data_axis
+            )
+            img = _render_tile_sharded(
+                xyz_w, cov_w, opac, feat, camera, bg, sh_degree,
+                RasterConfig(), tile,
+            )
+            loss = photometric_loss(img, gt)
+            return loss, (state, t, img)
+
+        (loss, (state, t, img)), (g_logE, g_y) = jax.value_and_grad(
+            frame_loss, argnums=(0, 1), has_aux=True
+        )(logE, y, state, t)
+
+        if tile is not None:
+            # each tile-shard backward only carries its own pixels'
+            # contribution; reduce over the tile axis so the SGD update is
+            # identical on every replica of the logE/y shard
+            g_logE = jax.lax.psum(g_logE, tile)
+            g_y = jax.lax.psum(g_y, tile)
+
+        c = grad_clip
+        g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
+        g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
+        return loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t, img
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            vec_spec, vec_spec, st_spec, P(),
+            vec_spec, P(data_axis, None, None), P(),
+        ),
+        out_specs=(P(), vec_spec, vec_spec, st_spec, P(), P()),
+        check_vma=False,
+    )
+
+    def step(logE, y, state, t, gt):
+        return sharded(logE, y, state, t, opacity, features, gt)
+
+    return jax.jit(step)

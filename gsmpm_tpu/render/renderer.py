@@ -133,18 +133,36 @@ def preprocess(
     )
 
 
-def _blend_blocks(
-    pre: Preprocessed,
-    order: jnp.ndarray,
-    camera: Camera,
-    bg: jnp.ndarray,
-    cfg: RasterConfig,
-) -> jnp.ndarray:
-    """Depth-ordered per-block selection + front-to-back blending."""
+def block_origins(camera: Camera, cfg: RasterConfig):
+    """Pixel-block origins covering the image, row-major over y.
+
+    Returns (origins (nb,2) [x,y], nbx, nby).  The block grid is the unit of
+    pixel-sharding across chips (gsmpm_tpu/parallel): each device takes a
+    contiguous slice of this array.
+    """
     B = cfg.block
     Wp = -(-camera.width // B) * B
     Hp = -(-camera.height // B) * B
     nbx, nby = Wp // B, Hp // B
+    bx = jnp.arange(nbx, dtype=jnp.float32) * B
+    by = jnp.arange(nby, dtype=jnp.float32) * B
+    origins = jnp.stack([jnp.tile(bx, nby), jnp.repeat(by, nbx)], axis=-1)
+    return origins, nbx, nby
+
+
+def render_blocks(
+    pre: Preprocessed,
+    order: jnp.ndarray,
+    origins: jnp.ndarray,
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Blend an arbitrary set of BxB pixel blocks; returns (nb, B, B, 3).
+
+    This is the shardable core: origins may be any subset of block_origins
+    (traced values are fine — all shapes are static in B and k_block).
+    """
+    B = cfg.block
     n = pre.pix.shape[0]
     k = min(cfg.k_block, n)
     # round the chunked scan length
@@ -159,13 +177,6 @@ def _blend_blocks(
     valid = pre.valid[order]
 
     rank = jnp.arange(n, dtype=jnp.float32)
-
-    # block origins (nb, 2): x, y
-    bx = jnp.arange(nbx, dtype=jnp.float32) * B
-    by = jnp.arange(nby, dtype=jnp.float32) * B
-    origins = jnp.stack(
-        [jnp.tile(bx, nby), jnp.repeat(by, nbx)], axis=-1
-    )  # (nb,2) row-major over y
 
     # local pixel coordinates within a block (P,2)
     ii = jnp.arange(B, dtype=jnp.float32)
@@ -265,14 +276,36 @@ def _blend_blocks(
     blocks = jax.lax.map(
         jax.vmap(do_block), origins_p.reshape(nb_pad // bb, bb, 2)
     ).reshape(nb_pad, B, B, 3)[:nb]
+    return blocks
 
-    # assemble: blocks row-major over y then x
+
+def assemble_blocks(
+    blocks: jnp.ndarray, camera: Camera, cfg: RasterConfig
+) -> jnp.ndarray:
+    """(nby*nbx, B, B, 3) row-major blocks -> (H, W, 3) image."""
+    B = cfg.block
+    Wp = -(-camera.width // B) * B
+    Hp = -(-camera.height // B) * B
+    nbx, nby = Wp // B, Hp // B
     img = (
         blocks.reshape(nby, nbx, B, B, 3)
         .transpose(0, 2, 1, 3, 4)
         .reshape(Hp, Wp, 3)
     )
     return img[: camera.height, : camera.width]
+
+
+def _blend_blocks(
+    pre: Preprocessed,
+    order: jnp.ndarray,
+    camera: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Depth-ordered per-block selection + front-to-back blending."""
+    origins, _, _ = block_origins(camera, cfg)
+    blocks = render_blocks(pre, order, origins, bg, cfg)
+    return assemble_blocks(blocks, camera, cfg)
 
 
 def render(
