@@ -24,6 +24,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from gsmpm_tpu.ops import m33
 from gsmpm_tpu.ops.svd3 import svd3x3
 
 MATERIAL_JELLY = 0
@@ -308,3 +309,202 @@ def compute_stress_from_F_trial(
 
     stress = 0.5 * (stress + jnp.swapaxes(stress, -1, -2))
     return StressResult(F=F, stress=stress, yield_stress=new_yield)
+
+
+# ---------------------------------------------------------------------------
+# SoA ("planes") hot-path implementation — same physics, TPU-lane-efficient
+# layout (see ops/m33.py docstring).  Cross-validated against the AoS
+# dispatch above in tests/test_soa.py.
+# ---------------------------------------------------------------------------
+
+def _vm_return_soa(F_trial, mu, lam, yield_stress, hardening, xi, softening=None):
+    """Planes von Mises return map; mirrors von_mises_return_mapping."""
+    U, sig_raw, V = m33.svd3(F_trial)
+    sig = tuple(jnp.maximum(s, 0.01) for s in sig_raw)
+    eps = tuple(jnp.log(s) for s in sig)
+    sum_eps = eps[0] + eps[1] + eps[2]
+    mean_eps = sum_eps / 3.0
+    tau = tuple(2.0 * mu * e + lam * sum_eps for e in eps)
+    tau_mean = (tau[0] + tau[1] + tau[2]) / 3.0
+    cond = tuple(t - tau_mean for t in tau)
+    cond_norm = jnp.sqrt(cond[0] ** 2 + cond[1] ** 2 + cond[2] ** 2)
+    yielding = cond_norm > yield_stress
+
+    eps_hat = tuple(e - mean_eps for e in eps)
+    ehn = jnp.sqrt(eps_hat[0] ** 2 + eps_hat[1] ** 2 + eps_hat[2] ** 2) + 1e-6
+    delta_gamma = ehn - yield_stress / (2.0 * mu)
+    ratio = delta_gamma / ehn
+    eps_proj = tuple(e - ratio * eh for e, eh in zip(eps, eps_hat))
+    F_proj = m33.matmul_t(
+        m33.mul_diag_right(U, tuple(jnp.exp(e) for e in eps_proj)), V
+    )
+    F_new = m33.mwhere(yielding, F_proj, F_trial)
+    d_yield = 2.0 * mu * xi * delta_gamma
+    if softening is not None:
+        d_yield = -softening * jnp.abs(d_yield)
+    new_yield = jnp.where(
+        yielding & (hardening == 1), yield_stress + d_yield, yield_stress
+    )
+    return F_new, new_yield
+
+
+def _sand_return_soa(F_trial, mu, lam, alpha):
+    """Planes Drucker-Prager sand projection; mirrors sand_return_mapping."""
+    U, sig, V = m33.svd3(F_trial)
+    eps = tuple(jnp.log(jnp.maximum(jnp.abs(s), 1e-14)) for s in sig)
+    tr = eps[0] + eps[1] + eps[2]
+    eps_hat = tuple(e - tr / 3.0 for e in eps)
+    ehn = jnp.sqrt(eps_hat[0] ** 2 + eps_hat[1] ** 2 + eps_hat[2] ** 2)
+    delta_gamma = ehn + (3.0 * lam + 2.0 * mu) / (2.0 * mu) * tr * alpha
+    safe_norm = jnp.maximum(ehn, 1e-12)
+    ratio = delta_gamma / safe_norm
+    H = tuple(e - eh * ratio for e, eh in zip(eps, eps_hat))
+    F_proj = m33.matmul_t(m33.mul_diag_right(U, tuple(jnp.exp(h) for h in H)), V)
+    F_fail = m33.matmul_t(U, V)
+    F_new = m33.mwhere(
+        delta_gamma > 0, m33.mwhere(tr > 0, F_fail, F_proj), F_trial
+    )
+    return F_new
+
+
+def _viscoplastic_return_soa(
+    F_trial, mu, yield_scale, yield_stress, plastic_viscosity, dt, visc_mult, sig_clamp
+):
+    """Planes deviatoric viscoplastic projection; mirrors
+    _deviatoric_viscoplastic_project."""
+    U, sig_raw, V = m33.svd3(F_trial)
+    sig = tuple(jnp.maximum(s, sig_clamp) for s in sig_raw)
+    b_sum = sig[0] ** 2 + sig[1] ** 2 + sig[2] ** 2
+    eps = tuple(jnp.log(s) for s in sig)
+    tr = eps[0] + eps[1] + eps[2]
+    eps_hat = tuple(e - tr / 3.0 for e in eps)
+    s_trial = tuple(2.0 * mu * eh for eh in eps_hat)
+    s_norm = jnp.sqrt(s_trial[0] ** 2 + s_trial[1] ** 2 + s_trial[2] ** 2)
+    y = s_norm - yield_scale * jnp.sqrt(2.0 / 3.0) * yield_stress
+
+    mu_hat = mu * b_sum / 3.0
+    denom = 1.0 + plastic_viscosity * visc_mult / (
+        2.0 * jnp.maximum(mu_hat, 1e-12) * dt
+    )
+    s_new_norm = s_norm - y / denom
+    sc = s_new_norm / jnp.maximum(s_norm, 1e-12)
+    eps_new = tuple(sc * s / (2.0 * mu) + tr / 3.0 for s in s_trial)
+    F_proj = m33.matmul_t(
+        m33.mul_diag_right(U, tuple(jnp.exp(e) for e in eps_new)), V
+    )
+    return m33.mwhere(y > 0, F_proj, F_trial)
+
+
+def _stress_fcr_soa(F, U, V, J, mu, lam):
+    R = m33.matmul_t(U, V)
+    term = m33.scale(m33.matmul_t(m33.sub(F, R), F), 2.0 * mu)
+    return m33.add_scaled_identity(term, lam * J * (J - 1.0))
+
+
+def _stress_stvk_soa(F, U, V, sig, mu, lam):
+    sig = tuple(jnp.maximum(s, 0.01) for s in sig)
+    eps = tuple(jnp.log(s) for s in sig)
+    sum_eps = eps[0] + eps[1] + eps[2]
+    tau = tuple(2.0 * mu * e + lam * sum_eps for e in eps)
+    return m33.matmul_t(m33.matmul_t(m33.mul_diag_right(U, tau), V), F)
+
+
+def _stress_dp_soa(F, U, V, sig, mu, lam):
+    sig_safe = tuple(jnp.maximum(s, 1e-6) for s in sig)
+    log_sig = tuple(jnp.log(s) for s in sig_safe)
+    log_sum = log_sig[0] + log_sig[1] + log_sig[2]
+    center = tuple(
+        (2.0 * mu * ls + lam * log_sum) / ss for ls, ss in zip(log_sig, sig_safe)
+    )
+    return m33.matmul_t(m33.matmul_t(m33.mul_diag_right(U, center), V), F)
+
+
+def cauchy_stress_stvk_green_soa(F, mu, lam, j_clamp: float = 1e-2):
+    """Planes Green-Lagrange StVK Cauchy stress (fitting path);
+    mirrors cauchy_stress_stvk_green."""
+    J = m33.det(F)
+    J = jnp.where(jnp.abs(J) < j_clamp, j_clamp * jnp.sign(J) + (J == 0) * j_clamp, J)
+    E = m33.add_scaled_identity(m33.scale(m33.t_matmul(F, F), 0.5), -0.5)
+    trE = m33.trace(E)
+    S = m33.add_scaled_identity(m33.scale(E, 2.0 * mu), lam * trE)
+    return m33.scale(m33.matmul_t(m33.matmul(F, S), F), 1.0 / J)
+
+
+def compute_stress_soa(
+    F_trial,
+    material: jnp.ndarray,
+    mu: jnp.ndarray,
+    lam: jnp.ndarray,
+    yield_stress: jnp.ndarray,
+    alpha,
+    hardening: int,
+    xi,
+    plastic_viscosity,
+    softening,
+    dt,
+    active_materials: Tuple[int, ...] = (0,),
+):
+    """Planes material dispatch; returns (F planes, stress planes, yield).
+
+    Hot-path equivalent of compute_stress_from_F_trial — identical physics
+    and material semantics, SoA layout.
+    """
+    m = material
+    F = F_trial
+    new_yield = yield_stress
+
+    if MATERIAL_METAL in active_materials:
+        F_vm, y_vm = _vm_return_soa(F_trial, mu, lam, yield_stress, hardening, xi)
+        F = m33.mwhere(m == MATERIAL_METAL, F_vm, F)
+        new_yield = jnp.where(m == MATERIAL_METAL, y_vm, new_yield)
+    if MATERIAL_PLASTICINE in active_materials:
+        F_pl, y_pl = _vm_return_soa(
+            F_trial, mu, lam, yield_stress, hardening, xi, softening=softening
+        )
+        F = m33.mwhere(m == MATERIAL_PLASTICINE, F_pl, F)
+        new_yield = jnp.where(m == MATERIAL_PLASTICINE, y_pl, new_yield)
+    if MATERIAL_SAND in active_materials:
+        F = m33.mwhere(m == MATERIAL_SAND, _sand_return_soa(F_trial, mu, lam, alpha), F)
+    if MATERIAL_FOAM in active_materials:
+        F = m33.mwhere(
+            m == MATERIAL_FOAM,
+            _viscoplastic_return_soa(
+                F_trial, mu, 0.8, yield_stress, plastic_viscosity, dt, 2.0, 0.01
+            ),
+            F,
+        )
+    if MATERIAL_FLUID in active_materials:
+        F = m33.mwhere(
+            m == MATERIAL_FLUID,
+            _viscoplastic_return_soa(
+                F_trial, mu, 1.0, yield_stress, plastic_viscosity, dt, 1.0, 0.01
+            ),
+            F,
+        )
+
+    J = m33.det(F)
+    U, sig, V = m33.svd3(F)
+
+    stress = tuple(jnp.zeros_like(F[0]) for _ in range(9))
+    if MATERIAL_JELLY in active_materials:
+        stress = m33.mwhere(
+            m == MATERIAL_JELLY, _stress_fcr_soa(F, U, V, J, mu, lam), stress
+        )
+    stvk_mats = [
+        mm
+        for mm in (MATERIAL_METAL, MATERIAL_FOAM, MATERIAL_FLUID, MATERIAL_PLASTICINE)
+        if mm in active_materials
+    ]
+    if stvk_mats:
+        stvk = _stress_stvk_soa(F, U, V, sig, mu, lam)
+        is_stvk = jnp.zeros_like(m, dtype=bool)
+        for mm in stvk_mats:
+            is_stvk = is_stvk | (m == mm)
+        stress = m33.mwhere(is_stvk, stvk, stress)
+    if MATERIAL_SAND in active_materials:
+        stress = m33.mwhere(
+            m == MATERIAL_SAND, _stress_dp_soa(F, U, V, sig, mu, lam), stress
+        )
+
+    stress = m33.symmetrize(stress)
+    return F, stress, new_yield

@@ -170,7 +170,32 @@ def substep(
     and the fitting variant p2g2p_forward (solver.py:54-69), which swaps the
     SVD return-map stress for the Green-strain StVK stress and skips
     particle-phase BCs.
+
+    The compute runs in the SoA planes layout (sim/kernels.py) — this AoS
+    entry point converts at the boundary.  The AoS reference implementation
+    below (_substep_aos) is kept as the differential-test oracle.
     """
+    from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa, substep_soa
+
+    soa = soa_from_state(state)
+    soa = substep_soa(
+        soa, model, bcs, time, grid, dt, incremental_cov, axis_name, fitting
+    )
+    return state_from_soa(soa)
+
+
+def _substep_aos(
+    state: MPMState,
+    model: MPMModel,
+    bcs: BCSet,
+    time,
+    grid: GridConfig,
+    dt: float,
+    incremental_cov: bool = False,
+    axis_name: Optional[str] = None,
+    fitting: bool = False,
+) -> MPMState:
+    """Reference AoS substep — readable oracle for tests/test_soa.py."""
     # particle-phase BCs (impulse)
     v = state.v
     if not fitting:
@@ -249,11 +274,15 @@ def run_substeps(
     The remat policy matches the reference's own memory strategy for the
     fitting path: keep particle state, recompute the grid in backward
     (/root/reference/mpm_solver/solver.py:71-78).
+
+    The scan carries the SoA planes state (sim/kernels.py) — AoS<->SoA
+    conversion happens once per call, not per substep.
     """
+    from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa, substep_soa
 
     def body(carry, _):
         st, t = carry
-        st = substep(
+        st = substep_soa(
             st, model, bcs, t, grid, dt, incremental_cov, axis_name, fitting
         )
         return (st, t + dt), None
@@ -261,8 +290,10 @@ def run_substeps(
     if checkpoint_policy == "substep":
         body = jax.checkpoint(body)
 
-    (state, time), _ = jax.lax.scan(body, (state, time), None, length=n_substeps)
-    return state, time
+    (soa, time), _ = jax.lax.scan(
+        body, (soa_from_state(state), time), None, length=n_substeps
+    )
+    return state_from_soa(soa), time
 
 
 def postprocess(state: MPMState, rotate_sh: bool = False):
@@ -274,10 +305,12 @@ def postprocess(state: MPMState, rotate_sh: bool = False):
     Returns (cov6 (N,6), R (N,3,3)); R follows the reference's stored
     transpose convention (utils.py:398).
     """
-    F = state.F_trial
-    cov = F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
-    cov6 = upper_from_mat(cov)
-    R = jnp.swapaxes(polar_rotation(F), -1, -2) if rotate_sh else None
+    from gsmpm_tpu.ops import m33
+    from gsmpm_tpu.sim.kernels import postprocess_soa, soa_from_state
+
+    cov6_p, R_p = postprocess_soa(soa_from_state(state), rotate_sh)
+    cov6 = jnp.stack(cov6_p, axis=-1)
+    R = m33.to_aos(R_p) if R_p is not None else None
     return cov6, R
 
 
