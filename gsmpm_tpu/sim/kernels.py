@@ -253,26 +253,57 @@ def g2p_soa(
     Parity: g2p (/root/reference/mpm_solver/utils.py:218-282).
     """
     g = grid.n_grid
-    fxs, ws, dws, nodes = _stencil(state.x, grid)
+    gp = g + 2 * _PAD
+    dtype = state.x[0].dtype
 
-    # ONE batched planes-gather for all 27 stencil nodes x 3 components —
-    # separate per-offset gathers each pay ~1ms of fixed op cost on TPU,
-    # and row-gathers from a (G^3,3) array hit the 3-lane slow path.
-    flats = []
-    for i in range(3):
-        for j in range(3):
-            for k in range(3):
-                flats.append((nodes[0][i] * g + nodes[1][j]) * g + nodes[2][k])
-    flat_all = jnp.concatenate(flats)  # (27N,)
-    gv_all = jnp.stack(grid_v)[:, flat_all].reshape(3, 27, -1)  # (3,27,N)
+    # Gather cost on TPU scales with the number of dynamic indices, so
+    # instead of 27N node gathers we build the 27 shifted copies of the
+    # grid densely (pure pads/slices — node value for offset o at base cell
+    # c is grid[c+o]) and do ONE column gather indexed by the N base cell
+    # ids.  Edge replication in the padded halo reproduces the old
+    # per-node clamp to [0, g-1] for any base in [-1, g-1].
+    bases, fxs = [], []
+    for a in range(3):
+        gpos = state.x[a] * grid.inv_dx
+        base = jnp.floor(gpos - 0.5).astype(jnp.int32)
+        fxs.append(gpos - base.astype(dtype))
+        bases.append(jnp.clip(base, -1, g - 1))
+    fid = (
+        (bases[0] + _PAD) * gp + (bases[1] + _PAD)
+    ) * gp + (bases[2] + _PAD)
+
+    ws, dws = [], []
+    for a in range(3):
+        f = fxs[a]
+        ws.append((0.5 * (1.5 - f) ** 2, 0.75 - (f - 1.0) ** 2, 0.5 * (f - 0.5) ** 2))
+        dws.append((
+            (f - 1.5) * grid.inv_dx,
+            -2.0 * (f - 1.0) * grid.inv_dx,
+            (f - 0.5) * grid.inv_dx,
+        ))
+
+    pad_lo, pad_hi = _PAD, _PAD + 2  # slices start at offset 0..2
+    gv3d = jnp.stack(grid_v).reshape(3, g, g, g)
+    gv_pad = jnp.pad(
+        gv3d, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (pad_lo, pad_hi)),
+        mode="edge",
+    )
+    shifted = []
+    offsets = [(i, j, k) for i in range(3) for j in range(3) for k in range(3)]
+    for (i, j, k) in offsets:
+        shifted.append(
+            jax.lax.slice(
+                gv_pad, (0, i, j, k), (3, i + gp, j + gp, k + gp)
+            ).reshape(3, gp * gp * gp)
+        )
+    stack = jnp.concatenate(shifted, axis=0)  # (81, gp^3)
+    gv_all = stack[:, fid].reshape(27, 3, -1)  # one N-index column gather
 
     zero = jnp.zeros_like(state.x[0])
     new_v = [zero, zero, zero]
     new_C = [zero] * 9
     grad_v = [zero] * 9
-    for o, (i, j, k) in enumerate(
-        (i, j, k) for i in range(3) for j in range(3) for k in range(3)
-    ):
+    for o, (i, j, k) in enumerate(offsets):
         w = ws[0][i] * ws[1][j] * ws[2][k]
         dwv = (
             dws[0][i] * ws[1][j] * ws[2][k],
@@ -281,7 +312,7 @@ def g2p_soa(
         )
         # dpos unscaled (parity g2p:260)
         dpos = tuple((i, j, k)[a] - fxs[a] for a in range(3))
-        gv = (gv_all[0, o], gv_all[1, o], gv_all[2, o])
+        gv = (gv_all[o, 0], gv_all[o, 1], gv_all[o, 2])
         for r in range(3):
             new_v[r] = new_v[r] + w * gv[r]
             for c in range(3):
