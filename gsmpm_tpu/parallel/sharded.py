@@ -36,7 +36,7 @@ from gsmpm_tpu.render.renderer import (
     assemble_blocks,
     block_origins,
     preprocess,
-    render_blocks,
+    render_block_rows,
 )
 from gsmpm_tpu.sim.coupling import grid2world, mat_from_upper, upper_from_mat
 from gsmpm_tpu.sim.solver import postprocess, run_substeps
@@ -72,20 +72,21 @@ def _render_tile_sharded(
     pre = preprocess(means3d, cov6, opacity, shs, camera, sh_degree, rcfg)
     key = jnp.where(pre.valid, pre.depth, jnp.inf)
     order = jnp.argsort(key)
-    origins, nbx, nby = block_origins(camera, rcfg)
-    nb = origins.shape[0]
+    _, nbx, nby = block_origins(camera, rcfg)
     if tile_axis is None:
-        blocks = render_blocks(pre, order, origins, bg, rcfg)
+        blocks = render_block_rows(pre, order, 0.0, nby, nbx, bg, rcfg)
         return assemble_blocks(blocks, camera, rcfg)
 
+    # shard contiguous block ROWS across the tile axis
     n_tiles = jax.lax.axis_size(tile_axis)
     tid = jax.lax.axis_index(tile_axis)
-    nb_pad = -(-nb // n_tiles) * n_tiles
-    origins_p = jnp.pad(origins, ((0, nb_pad - nb), (0, 0)))
-    nb_local = nb_pad // n_tiles
-    local = jax.lax.dynamic_slice_in_dim(origins_p, tid * nb_local, nb_local, 0)
-    blocks_local = render_blocks(pre, order, local, bg, rcfg)
-    blocks = jax.lax.all_gather(blocks_local, tile_axis, axis=0, tiled=True)[:nb]
+    rows_local = -(-nby // n_tiles)
+    y_start = tid.astype(jnp.float32) * (rows_local * rcfg.block)
+    blocks_local = render_block_rows(
+        pre, order, y_start, rows_local, nbx, bg, rcfg
+    )
+    blocks = jax.lax.all_gather(blocks_local, tile_axis, axis=0, tiled=True)
+    blocks = blocks[: nby * nbx]  # drop padded rows past the image
     return assemble_blocks(blocks, camera, rcfg)
 
 

@@ -6,15 +6,17 @@ consumes (GaussianRasterizationSettings/GaussianRasterizer,
 the cov3D_precomp path the MPM pipeline depends on.
 
 TPU-native design (not a port of the CUDA tile binner):
-1. preprocess — batched EWA projection over all gaussians (view transform,
-   perspective Jacobian, 2D covariance + 0.3 low-pass, SH->RGB) as pure
-   (N,3,3)-matmul math;
+1. preprocess — EWA projection (view transform, perspective Jacobian, 2D
+   covariance + 0.3 low-pass, SH->RGB) in SoA planes layout: every quantity
+   is an (N,) array so the VPU runs full 128-lane; no (N,3,3) relayouts;
 2. one global depth argsort (replaces the per-tile (tileID|depth) radix sort);
-3. per pixel-block top_k selection: for each BxB pixel block, take the first
-   k_block depth-ordered gaussians whose screen rect intersects the block —
-   a static-shape replacement for the CUDA dynamic tile lists;
-4. front-to-back alpha blending as a scan over gaussian chunks with exact
-   emulation of the CUDA early-stop (T < 1e-4 freeze) via cumulative products.
+3. two-stage static-shape binning (replaces the CUDA dynamic tile lists):
+   per BLOCK ROW take the first k_row depth-ordered gaussians whose screen
+   rect crosses the row, then per BxB block the first k_block of those
+   crossing the block — two lax.top_k passes over masked depth ranks;
+4. front-to-back alpha blending as a scan over gaussian chunks in (chunk, P)
+   layout (P = B*B pixels on the 128-lane axis) with exact emulation of the
+   CUDA early-stop (T < 1e-4 freeze) via cumulative products.
 
 Everything is jnp -> the whole renderer is differentiable with jax.grad;
 jax.checkpoint on the chunk body keeps backward memory at O(P * chunk).
@@ -30,29 +32,66 @@ import jax
 import jax.numpy as jnp
 
 from gsmpm_tpu.render.camera import Camera
-from gsmpm_tpu.render.sh import eval_sh
-from gsmpm_tpu.sim.coupling import mat_from_upper
+from gsmpm_tpu.render.sh import C0, _band_basis
 
 
 class RasterConfig(NamedTuple):
     block: int = 64  # pixel block edge for binning/blending
     k_block: int = 1024  # max gaussians blended per block
+    k_row: int = 8192  # max gaussians considered per block row
     chunk: int = 64  # gaussians per blend-scan step
-    block_batch: int = 16  # blocks processed concurrently
+    block_batch: int = 16  # retained for config compat (rows vmap over nbx)
     t_min: float = 1e-4  # transmittance early-stop (parity with CUDA)
     alpha_min: float = 1.0 / 255.0
     z_near: float = 0.2  # frustum near cull (parity with CUDA preprocess)
     remat: bool = True
+    skip_empty: bool = True  # lax.cond fast path for blocks with 0 candidates
 
 
 class Preprocessed(NamedTuple):
-    pix: jnp.ndarray  # (N,2) screen-space means
-    conic: jnp.ndarray  # (N,3) inverse 2D covariance (a, b, c)
-    depth: jnp.ndarray  # (N,)
-    radius: jnp.ndarray  # (N,)
-    color: jnp.ndarray  # (N,3)
-    opacity: jnp.ndarray  # (N,)
-    valid: jnp.ndarray  # (N,) bool
+    """Planes layout: every field is (N,)."""
+
+    pix_x: jnp.ndarray
+    pix_y: jnp.ndarray
+    conic_a: jnp.ndarray
+    conic_b: jnp.ndarray
+    conic_c: jnp.ndarray
+    depth: jnp.ndarray
+    radius: jnp.ndarray
+    color_r: jnp.ndarray
+    color_g: jnp.ndarray
+    color_b: jnp.ndarray
+    opacity: jnp.ndarray
+    valid: jnp.ndarray  # bool
+
+    @property
+    def pix(self):  # compat: (N,2)
+        return jnp.stack([self.pix_x, self.pix_y], axis=-1)
+
+    @property
+    def conic(self):  # compat: (N,3)
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], axis=-1)
+
+    @property
+    def color(self):  # compat: (N,3)
+        return jnp.stack([self.color_r, self.color_g, self.color_b], axis=-1)
+
+
+def _eval_sh_planes(shs, dx, dy, dz, sh_degree: int):
+    """SH->RGB on planes; mirrors render/sh.py:eval_sh term-for-term."""
+    d = jnp.stack([dx, dy, dz], axis=-1)
+    cols = []
+    for c in range(3):
+        acc = C0 * shs[:, 0, c]
+        offset = 1
+        for l in range(1, sh_degree + 1):
+            basis = _band_basis(d, l, jnp)  # (N, 2l+1)
+            m = 2 * l + 1
+            for t in range(m):
+                acc = acc + basis[:, t] * shs[:, offset + t, c]
+            offset += m
+        cols.append(acc)
+    return cols
 
 
 def preprocess(
@@ -65,69 +104,83 @@ def preprocess(
     cfg: RasterConfig,
     colors_precomp: Optional[jnp.ndarray] = None,
 ) -> Preprocessed:
-    """Project gaussians to screen space (EWA splatting)."""
-    W_rot = camera.view[:3, :3]
-    t = means3d @ W_rot.T + camera.view[:3, 3]  # view-space positions
-    depth = t[:, 2]
+    """Project gaussians to screen space (EWA splatting), planes layout."""
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = camera.view
+    P = camera.full_proj
+
+    t = [V[r, 0] * mx + V[r, 1] * my + V[r, 2] * mz + V[r, 3] for r in range(3)]
+    depth = t[2]
     in_front = depth > cfg.z_near
 
-    # clip-space projection
-    ph = means3d @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
-    pw = means3d @ camera.full_proj[3, :3].T + camera.full_proj[3, 3]
+    ph = [P[r, 0] * mx + P[r, 1] * my + P[r, 2] * mz + P[r, 3] for r in range(2)]
+    pw = P[3, 0] * mx + P[3, 1] * my + P[3, 2] * mz + P[3, 3]
     inv_w = 1.0 / (pw + 1e-7)
-    ndc = ph * inv_w[:, None]
-    pix = jnp.stack(
-        [
-            ((ndc[:, 0] + 1.0) * camera.width - 1.0) * 0.5,
-            ((ndc[:, 1] + 1.0) * camera.height - 1.0) * 0.5,
-        ],
-        axis=-1,
-    )
+    pix_x = ((ph[0] * inv_w + 1.0) * camera.width - 1.0) * 0.5
+    pix_y = ((ph[1] * inv_w + 1.0) * camera.height - 1.0) * 0.5
 
-    # EWA 2D covariance: clamp the view-space point like the CUDA preprocess
+    # EWA 2D covariance with the CUDA preprocess view-space clamp
     fx, fy = camera.focal_x, camera.focal_y
     limx, limy = 1.3 * camera.tanfovx, 1.3 * camera.tanfovy
     z = jnp.where(in_front, depth, 1.0)
-    tx = jnp.clip(t[:, 0] / z, -limx, limx) * z
-    ty = jnp.clip(t[:, 1] / z, -limy, limy) * z
-    zero = jnp.zeros_like(z)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / z, zero, -fx * tx / (z * z)], axis=-1),
-            jnp.stack([zero, fy / z, -fy * ty / (z * z)], axis=-1),
-        ],
-        axis=-2,
-    )  # (N,2,3)
-    Sigma = mat_from_upper(cov6)
-    Tm = J @ W_rot[None]  # (N,2,3)
-    cov2d = Tm @ Sigma @ jnp.swapaxes(Tm, -1, -2)  # (N,2,2)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    tx = jnp.clip(t[0] / z, -limx, limx) * z
+    ty = jnp.clip(t[1] / z, -limy, limy) * z
+    J00 = fx / z
+    J02 = -fx * tx / (z * z)
+    J11 = fy / z
+    J12 = -fy * ty / (z * z)
+    # T = J @ W_rot, rows 0,1 (planes; W entries are scalars)
+    T0 = [J00 * V[0, c] + J02 * V[2, c] for c in range(3)]
+    T1 = [J11 * V[1, c] + J12 * V[2, c] for c in range(3)]
+
+    s00, s01, s02 = cov6[:, 0], cov6[:, 1], cov6[:, 2]
+    s11, s12, s22 = cov6[:, 3], cov6[:, 4], cov6[:, 5]
+
+    def quad(u, w):
+        return (
+            u[0] * w[0] * s00 + u[1] * w[1] * s11 + u[2] * w[2] * s22
+            + (u[0] * w[1] + u[1] * w[0]) * s01
+            + (u[0] * w[2] + u[2] * w[0]) * s02
+            + (u[1] * w[2] + u[2] * w[1]) * s12
+        )
+
+    a = quad(T0, T0) + 0.3
+    b = quad(T0, T1)
+    c = quad(T1, T1) + 0.3
 
     det = a * c - b * b
     det_ok = det > 0
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+    conic_a = c * inv_det
+    conic_b = -b * inv_det
+    conic_c = a * inv_det
 
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
     if colors_precomp is not None:
-        color = colors_precomp
+        col = [colors_precomp[:, i] for i in range(3)]
     else:
-        dirs = means3d - camera.campos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
-        color = jnp.maximum(eval_sh(shs, dirs, sh_degree) + 0.5, 0.0)
+        dx = mx - camera.campos[0]
+        dy = my - camera.campos[1]
+        dz = mz - camera.campos[2]
+        inv_n = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-9)
+        col = _eval_sh_planes(shs, dx * inv_n, dy * inv_n, dz * inv_n, sh_degree)
+        col = [jnp.maximum(ci + 0.5, 0.0) for ci in col]
 
     valid = in_front & det_ok & (radius > 0)
     return Preprocessed(
-        pix=pix,
-        conic=conic,
+        pix_x=pix_x,
+        pix_y=pix_y,
+        conic_a=conic_a,
+        conic_b=conic_b,
+        conic_c=conic_c,
         depth=depth,
         radius=radius,
-        color=color,
+        color_r=col[0],
+        color_g=col[1],
+        color_b=col[2],
         opacity=opacity.reshape(-1),
         valid=valid,
     )
@@ -136,9 +189,7 @@ def preprocess(
 def block_origins(camera: Camera, cfg: RasterConfig):
     """Pixel-block origins covering the image, row-major over y.
 
-    Returns (origins (nb,2) [x,y], nbx, nby).  The block grid is the unit of
-    pixel-sharding across chips (gsmpm_tpu/parallel): each device takes a
-    contiguous slice of this array.
+    Returns (origins (nb,2) [x,y], nbx, nby).
     """
     B = cfg.block
     Wp = -(-camera.width // B) * B
@@ -150,133 +201,165 @@ def block_origins(camera: Camera, cfg: RasterConfig):
     return origins, nbx, nby
 
 
-def render_blocks(
+# stacked planes gathered per candidate: order matters
+_PLANE_FIELDS = (
+    "pix_x", "pix_y", "conic_a", "conic_b", "conic_c",
+    "color_r", "color_g", "color_b", "opacity", "radius",
+)
+
+
+def _sorted_planes(pre: Preprocessed, order: jnp.ndarray):
+    """(10, N) gathered into depth order + sorted valid mask."""
+    stack = jnp.stack([getattr(pre, f) for f in _PLANE_FIELDS])
+    return stack[:, order], pre.valid[order]
+
+
+def _blend_candidates(cand, ok, x0, y0, cfg: RasterConfig, bg):
+    """Blend k depth-ordered candidate gaussians into one BxB block.
+
+    cand: (10, k) planes, ok: (k,) bool, x0/y0: block origin (traced).
+    Layout: (chunk, P) with P = B*B on the lane axis.
+    Returns (B, B, 3).
+    """
+    B = cfg.block
+    P = B * B
+    k = cand.shape[1]
+    k_pad = -(-k // cfg.chunk) * cfg.chunk
+    if k_pad > k:
+        cand = jnp.pad(cand, ((0, 0), (0, k_pad - k)))
+        ok = jnp.pad(ok, (0, k_pad - k))
+
+    ii = jnp.arange(B, dtype=jnp.float32)
+    px = x0 + jnp.tile(ii, B)  # (P,) x fastest
+    py = y0 + jnp.repeat(ii, B)
+
+    okf = ok.astype(cand.dtype)
+    n_chunks = k_pad // cfg.chunk
+
+    def chunk_body(carry, chunk_idx):
+        T, done, Cr, Cg, Cb = carry
+        sl = chunk_idx * cfg.chunk
+        c = jax.lax.dynamic_slice_in_dim(cand, sl, cfg.chunk, 1)  # (10, CH)
+        c_okf = jax.lax.dynamic_slice_in_dim(okf, sl, cfg.chunk, 0)
+
+        dx = px[None, :] - c[0][:, None]  # (CH, P)
+        dy = py[None, :] - c[1][:, None]
+        power = (
+            -0.5 * (c[2][:, None] * dx * dx + c[4][:, None] * dy * dy)
+            - c[3][:, None] * dx * dy
+        )
+        alpha = jnp.minimum(0.99, c[8][:, None] * jnp.exp(power))
+        alpha = jnp.where(
+            (c_okf[:, None] > 0) & (power <= 0.0) & (alpha >= cfg.alpha_min),
+            alpha,
+            0.0,
+        )
+
+        one_minus = 1.0 - alpha  # (CH, P)
+        cp = jnp.cumprod(one_minus, axis=0)
+        excl = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)
+        T_before = T[None, :] * excl
+        T_after = T_before * one_minus
+        # CUDA early-stop parity: a contribution is skipped (and the pixel
+        # frozen) the moment it would push T below t_min
+        contrib = (~done[None, :]) & (T_after >= cfg.t_min)
+        w = jnp.where(contrib, T_before * alpha, 0.0)
+        Cr = Cr + jnp.sum(w * c[5][:, None], axis=0)
+        Cg = Cg + jnp.sum(w * c[6][:, None], axis=0)
+        Cb = Cb + jnp.sum(w * c[7][:, None], axis=0)
+        alpha_eff = jnp.where(contrib, alpha, 0.0)
+        T = T * jnp.prod(1.0 - alpha_eff, axis=0)
+        done = done | jnp.any(T_after < cfg.t_min, axis=0)
+        return (T, done, Cr, Cg, Cb), None
+
+    if cfg.remat:
+        chunk_body = jax.checkpoint(chunk_body)
+
+    init = (
+        jnp.ones((P,), cand.dtype),
+        jnp.zeros((P,), bool),
+        jnp.zeros((P,), cand.dtype),
+        jnp.zeros((P,), cand.dtype),
+        jnp.zeros((P,), cand.dtype),
+    )
+    (T, _, Cr, Cg, Cb), _ = jax.lax.scan(chunk_body, init, jnp.arange(n_chunks))
+    out = jnp.stack([Cr + T * bg[0], Cg + T * bg[1], Cb + T * bg[2]], axis=-1)
+    return out.reshape(B, B, 3)
+
+
+def render_block_rows(
     pre: Preprocessed,
     order: jnp.ndarray,
-    origins: jnp.ndarray,
+    y_start,
+    nby_local: int,
+    nbx: int,
     bg: jnp.ndarray,
     cfg: RasterConfig,
 ) -> jnp.ndarray:
-    """Blend an arbitrary set of BxB pixel blocks; returns (nb, B, B, 3).
+    """Render nby_local full block rows starting at pixel row y_start.
 
-    This is the shardable core: origins may be any subset of block_origins
-    (traced values are fine — all shapes are static in B and k_block).
+    Two-stage selection: per row the first k_row depth-ordered gaussians
+    crossing the row's y-interval, then per block the first k_block of those
+    crossing the block's x-interval.  Returns (nby_local*nbx, B, B, 3)
+    row-major blocks.
     """
     B = cfg.block
-    n = pre.pix.shape[0]
-    k = min(cfg.k_block, n)
-    # round the chunked scan length
-    k_pad = -(-k // cfg.chunk) * cfg.chunk
+    n = pre.pix_x.shape[0]
+    k_row = min(cfg.k_row, n)
+    k_blk = min(cfg.k_block, k_row)
 
-    # gather into depth order once
-    pix = pre.pix[order]
-    conic = pre.conic[order]
-    color = pre.color[order]
-    opac = pre.opacity[order]
-    radius = pre.radius[order]
-    valid = pre.valid[order]
-
+    splanes, svalid = _sorted_planes(pre, order)
     rank = jnp.arange(n, dtype=jnp.float32)
+    y_start = jnp.asarray(y_start, jnp.float32)
 
-    # local pixel coordinates within a block (P,2)
-    ii = jnp.arange(B, dtype=jnp.float32)
-    local = jnp.stack(
-        [jnp.tile(ii, B), jnp.repeat(ii, B)], axis=-1
-    )  # x fastest
-
-    def select_block(origin):
-        x0, y0 = origin[0], origin[1]
-        inter = (
-            (pix[:, 0] + radius >= x0 - 0.5)
-            & (pix[:, 0] - radius <= x0 + B - 0.5)
-            & (pix[:, 1] + radius >= y0 - 0.5)
-            & (pix[:, 1] - radius <= y0 + B - 0.5)
-            & valid
+    def do_row(row_idx):
+        y0 = y_start + row_idx.astype(jnp.float32) * B
+        inter_y = (
+            (splanes[1] + splanes[9] >= y0 - 0.5)
+            & (splanes[1] - splanes[9] <= y0 + B - 0.5)
+            & svalid
         )
-        prio = jnp.where(inter, -rank, -jnp.inf)
-        vals, idx = jax.lax.top_k(prio, k)
-        ok = vals > -jnp.inf
-        if k_pad > k:
-            idx = jnp.pad(idx, (0, k_pad - k))
-            ok = jnp.pad(ok, (0, k_pad - k))
-        return idx, ok
+        prio = jnp.where(inter_y, -rank, -jnp.inf)
+        vals, idx = jax.lax.top_k(prio, k_row)
+        cand = splanes[:, idx]  # (10, k_row) in depth order
+        cand_ok = vals > -jnp.inf
+        lrank = jnp.arange(k_row, dtype=jnp.float32)
 
-    def blend_block(origin, idx, ok):
-        px = origin[None, :] + local  # (P,2)
-        g_pix = pix[idx]
-        g_conic = conic[idx]
-        g_color = color[idx]
-        g_alpha0 = opac[idx]
-
-        n_chunks = k_pad // cfg.chunk
-
-        def chunk_body(carry, chunk_idx):
-            T, done, C = carry
-            sl = chunk_idx * cfg.chunk
-            c_pix = jax.lax.dynamic_slice_in_dim(g_pix, sl, cfg.chunk, 0)
-            c_conic = jax.lax.dynamic_slice_in_dim(g_conic, sl, cfg.chunk, 0)
-            c_color = jax.lax.dynamic_slice_in_dim(g_color, sl, cfg.chunk, 0)
-            c_a0 = jax.lax.dynamic_slice_in_dim(g_alpha0, sl, cfg.chunk, 0)
-            c_ok = jax.lax.dynamic_slice_in_dim(ok, sl, cfg.chunk, 0)
-
-            d = px[:, None, :] - c_pix[None, :, :]  # (P,CH,2)
-            power = (
-                -0.5
-                * (
-                    c_conic[None, :, 0] * d[..., 0] * d[..., 0]
-                    + c_conic[None, :, 2] * d[..., 1] * d[..., 1]
-                )
-                - c_conic[None, :, 1] * d[..., 0] * d[..., 1]
+        def do_block(bi):
+            x0 = bi.astype(jnp.float32) * B
+            inter_x = (
+                (cand[0] + cand[9] >= x0 - 0.5)
+                & (cand[0] - cand[9] <= x0 + B - 0.5)
+                & cand_ok
             )
-            alpha = jnp.minimum(0.99, c_a0[None, :] * jnp.exp(power))
-            alpha = jnp.where(
-                c_ok[None, :] & (power <= 0.0) & (alpha >= cfg.alpha_min), alpha, 0.0
-            )
+            bprio = jnp.where(inter_x, -lrank, -jnp.inf)
+            bvals, bidx = jax.lax.top_k(bprio, k_blk)
+            bcand = cand[:, bidx]
+            bok = bvals > -jnp.inf
 
-            one_minus = 1.0 - alpha  # (P,CH)
-            cp = jnp.cumprod(one_minus, axis=1)
-            excl = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
-            T_before = T[:, None] * excl
-            T_after = T_before * one_minus
-            # CUDA early-stop parity: a contribution is skipped (and the pixel
-            # frozen) the moment it would push T below t_min
-            contrib = (~done[:, None]) & (T_after >= cfg.t_min)
-            w = jnp.where(contrib, T_before * alpha, 0.0)
-            C = C + w @ c_color  # (P,3)
-            alpha_eff = jnp.where(contrib, alpha, 0.0)
-            T = T * jnp.prod(1.0 - alpha_eff, axis=1)
-            done = done | jnp.any(T_after < cfg.t_min, axis=1)
-            return (T, done, C), None
+            if not cfg.skip_empty:
+                return _blend_candidates(bcand, bok, x0, y0, cfg, bg)
 
-        if cfg.remat:
-            chunk_body = jax.checkpoint(chunk_body)
+            # sequential blocks (lax.map below) + cond => empty background
+            # blocks really skip the blend, unlike under vmap where cond
+            # lowers to select and both branches execute
+            def empty(_):
+                return jnp.broadcast_to(
+                    bg.astype(bcand.dtype), (B, B, 3)
+                ).reshape(B, B, 3) * jnp.ones((B, B, 3), bcand.dtype)
 
-        P = B * B
-        (T, _, C), _ = jax.lax.scan(
-            chunk_body,
-            (
-                jnp.ones((P,), jnp.float32),
-                jnp.zeros((P,), bool),
-                jnp.zeros((P, 3), jnp.float32),
-            ),
-            jnp.arange(n_chunks),
-        )
-        out = C + T[:, None] * bg[None, :]
-        return out.reshape(B, B, 3)  # [y, x, c] (local x fastest in last dim idx)
+            def work(args):
+                bcand, bok = args
+                return _blend_candidates(bcand, bok, x0, y0, cfg, bg)
 
-    def do_block(origin):
-        idx, ok = select_block(origin)
-        return blend_block(origin, idx, ok)
+            return jax.lax.cond(jnp.any(bok), work, empty, (bcand, bok))
 
-    # process blocks in batches to bound memory
-    nb = origins.shape[0]
-    bb = min(cfg.block_batch, nb)
-    nb_pad = -(-nb // bb) * bb
-    origins_p = jnp.pad(origins, ((0, nb_pad - nb), (0, 0)))
-    blocks = jax.lax.map(
-        jax.vmap(do_block), origins_p.reshape(nb_pad // bb, bb, 2)
-    ).reshape(nb_pad, B, B, 3)[:nb]
-    return blocks
+        if cfg.skip_empty:
+            return jax.lax.map(do_block, jnp.arange(nbx))  # (nbx, B, B, 3)
+        return jax.vmap(do_block)(jnp.arange(nbx))  # (nbx, B, B, 3)
+
+    blocks = jax.lax.map(do_row, jnp.arange(nby_local))
+    return blocks.reshape(nby_local * nbx, B, B, 3)
 
 
 def assemble_blocks(
@@ -302,9 +385,9 @@ def _blend_blocks(
     bg: jnp.ndarray,
     cfg: RasterConfig,
 ) -> jnp.ndarray:
-    """Depth-ordered per-block selection + front-to-back blending."""
-    origins, _, _ = block_origins(camera, cfg)
-    blocks = render_blocks(pre, order, origins, bg, cfg)
+    """Full-image path: two-stage row/block selection + blending."""
+    _, nbx, nby = block_origins(camera, cfg)
+    blocks = render_block_rows(pre, order, 0.0, nby, nbx, bg, cfg)
     return assemble_blocks(blocks, camera, cfg)
 
 
