@@ -67,7 +67,8 @@ def load_scene(cfg: SimConfig, synthetic: Optional[int]) -> GaussianScene:
 
 
 def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
-             frames: Optional[int] = None, quiet: bool = False):
+             frames: Optional[int] = None, quiet: bool = False,
+             checkpoint_interval: int = 0, resume: bool = False):
     mpm = cfg.mpm
     t_start = time.time()
 
@@ -163,18 +164,40 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
     num_frames = frames if frames is not None else cfg.render.num_frames
     t_sim = jnp.float32(0.0)
     frames_np = []
+    start_frame = 1
+
+    # full-state resume (state + material model + sim clock; SURVEY.md §5 —
+    # capability the reference lacks, its PLY dumps are view-only)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if resume:
+        from gsmpm_tpu.io.checkpoint import latest_step, restore_checkpoint
+
+        if latest_step(ckpt_dir) is not None:
+            (state, model, t_sim), fid0, extra = restore_checkpoint(
+                ckpt_dir, (state, model, t_sim)
+            )
+            start_frame = fid0 + 1
+            if not quiet:
+                print(f"resumed from checkpoint at frame {fid0}")
 
     img = render_frame(state.x, state.cov, None)
-    save_frame(np.asarray(img), images_dir, 0)
+    save_frame(np.asarray(img), images_dir, start_frame - 1)
     frames_np.append(np.asarray(img))
 
-    for fid in range(1, num_frames + 1):
+    for fid in range(start_frame, num_frames + 1):
         t0 = time.time()
         state, t_sim, R = sim_frame(state, model, t_sim)
         img = render_frame(state.x, state.cov, R)
         img.block_until_ready()
         save_frame(np.asarray(img), images_dir, fid)
         frames_np.append(np.asarray(img))
+
+        if checkpoint_interval and fid % checkpoint_interval == 0:
+            from gsmpm_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                ckpt_dir, fid, (state, model, t_sim), extra={"frame": fid}
+            )
 
         if cfg.render.save_pcd and fid % cfg.render.save_pcd_interval == 0:
             w_xyz, _ = grid2world(
@@ -207,9 +230,14 @@ def main(argv=None):
                         help="run on a generated scene with N gaussians")
     parser.add_argument("--frames", type=int, default=None,
                         help="override render.num_frames")
+    parser.add_argument("--checkpoint_interval", type=int, default=0,
+                        help="save full sim state every N frames")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in output_path")
     args, remaining = parser.parse_known_args(argv)
     cfg = SimConfig.from_json(args.config_path).override_from_args(remaining)
-    simulate(cfg, synthetic=args.synthetic, frames=args.frames)
+    simulate(cfg, synthetic=args.synthetic, frames=args.frames,
+             checkpoint_interval=args.checkpoint_interval, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,62 @@
+"""Every reference config must load unmodified and drive a short sim.
+
+Parity bar from SURVEY.md §5 ("same JSON schema ... so reference configs run
+unmodified"): parse all of /root/reference/configs/*.json, build the solver
+(materials, BCs, grid geometry) and run 2 substeps on synthetic particles.
+"""
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmpm_tpu.config import SimConfig
+from gsmpm_tpu.sim.boundary import BCSet, build_boundary_conditions, make_surface_collider
+from gsmpm_tpu.sim.solver import run_substeps
+from gsmpm_tpu.sim.state import GridConfig, init_model, init_state, material_types
+from gsmpm_tpu.sim.volume import particle_volume
+
+CONFIGS = sorted(glob.glob("/root/reference/configs/*.json"))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_reference_config_runs(path):
+    cfg = SimConfig.from_json(path)
+    mpm = cfg.mpm
+
+    assert mpm.material in material_types, f"unknown material {mpm.material}"
+    assert mpm.n_grid > 0 and mpm.grid_extent > 0
+    assert mpm.steps_per_frame >= 1
+
+    n = 128
+    rng = np.random.default_rng(0)
+    lo, hi = 0.35 * mpm.grid_extent, 0.65 * mpm.grid_extent
+    xyz = rng.uniform(lo, hi, size=(n, 3)).astype(np.float32)
+    cov6 = np.tile(
+        np.asarray([1e-4, 0, 0, 1e-4, 0, 1e-4], np.float32) * mpm.dx, (n, 1)
+    )
+    vol = particle_volume(jnp.asarray(xyz), mpm.n_grid, mpm.grid_extent)
+    state = init_state(jnp.asarray(xyz), jnp.asarray(cov6), vol, mpm)
+    model = init_model(mpm, n)
+    bcs, state, model = build_boundary_conditions(
+        mpm.boundary_conditions, mpm, state, model
+    )
+    # the unconditional ground collider (quirk #10, /root/reference/main.py:276)
+    bcs = BCSet(
+        particle_ops=bcs.particle_ops,
+        grid_ops=bcs.grid_ops + (make_surface_collider((0, 0, 0.4), (0, 0, 1)),),
+    )
+    grid = GridConfig(mpm.n_grid, mpm.grid_extent)
+
+    out, t = run_substeps(
+        state, model, bcs, jnp.float32(0.0), 2, grid, mpm.substep_dt
+    )
+    assert bool(jnp.isfinite(out.x).all())
+    assert bool(jnp.isfinite(out.v).all())
+    assert bool(jnp.isfinite(out.F_trial).all())
+
+
+def test_all_eleven_reference_configs_found():
+    assert len(CONFIGS) >= 11, CONFIGS
