@@ -1,0 +1,599 @@
+"""Tile-bucketed separable MPM transfer — TPU-native hot path.
+
+See TILED_DESIGN.md (this directory) for the full design rationale.  Summary:
+XLA scatter/gather on TPU is index-bound (~9 ns/index), so the P2G/G2P
+transfers (parity /root/reference/mpm_solver/utils.py:89-134,218-282) are
+reformulated with **no random access**: particles are bucketed into 8-cell
+grid tiles, each tile owning a 16^3-cell window, and the quadratic-B-spline
+tensor-product structure turns both transfers into dense per-chunk matmuls
+(MXU) plus static window folds (streaming).
+
+This module holds everything that is NOT the Pallas kernel: tile geometry,
+the packed particle layout, rebucketing, window fold/extract, the pure-JAX
+reference implementation of the per-chunk math (used on CPU and as the
+golden model for the Pallas kernels in sim/pallas_mpm.py), and the substep
+driver.
+
+The tiled path is forward-only; the differentiable fitting path keeps the
+XLA transfer in sim/kernels.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsmpm_tpu.ops.constitutive import compute_stress_soa
+from gsmpm_tpu.sim.state import GridConfig, MPMModel
+from gsmpm_tpu.sim.kernels import SoAState, grid_update_soa
+
+# packed q row indices
+RX = 0       # 0..2   position (grid coords)
+RV = 3       # 3..5   velocity
+RC = 6       # 6..14  APIC C (row-major)
+RF = 15      # 15..23 F (post return-map)
+RFT = 24     # 24..32 F_trial
+RMASS = 33
+RVOL = 34
+RYIELD = 35
+RDRIFT = 36  # scratch: G2P writes per-particle drift flag here
+QROWS = 40
+
+# aux row indices (per-particle material params, permuted with q)
+AMU, ALAM, AVISC = 0, 1, 2
+AUXROWS = 8
+
+T_TILE = 8     # cells per tile per axis
+W_WIN = 16     # window cells per axis (= 2 padded-grid tiles)
+PAD_LO = 4     # padded coord = cell + PAD_LO; window origin of tile t = 8t
+LOCAL_MIN, LOCAL_MAX = 0, 13       # valid base slots inside a window
+SAFE_MIN, SAFE_MAX = 1, 12         # drift trigger outside this range
+
+
+class TileConfig(NamedTuple):
+    """Static tiling geometry for a given (n_grid, n_particles)."""
+
+    n_grid: int
+    n_particles: int
+    S: int = 256            # chunk rows (particles per kernel step)
+    n_occ_cap: int = 0      # max occupied tiles (0 = ntiles)
+
+    @property
+    def nt(self) -> int:    # tiles per axis
+        return -(-self.n_grid // T_TILE)
+
+    @property
+    def ntiles(self) -> int:
+        return self.nt ** 3
+
+    @property
+    def occ_cap(self) -> int:
+        return self.n_occ_cap or self.ntiles
+
+    @property
+    def nchunk(self) -> int:
+        return -(-self.n_particles // self.S) + self.occ_cap
+
+    @property
+    def np_rows(self) -> int:  # padded particle slots
+        return self.nchunk * self.S
+
+    @property
+    def pad_axis(self) -> int:  # padded grid cells per axis
+        return (self.nt + 1) * T_TILE
+
+
+def default_tile_config(n_grid: int, n_particles: int) -> TileConfig:
+    nt = -(-n_grid // T_TILE)
+    # cap occupied tiles so NP stays bounded for big grids; rebucket reports
+    # overflow and the caller falls back to the XLA path
+    cap = min(nt ** 3, max(512, 4 * max(1, n_particles // 256)))
+    return TileConfig(n_grid, n_particles, S=256, n_occ_cap=cap)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TiledState:
+    """Scan-carried particle state in tile-sorted packed layout."""
+
+    q: jnp.ndarray            # (QROWS, NP) f32
+    aux: jnp.ndarray          # (AUXROWS, NP) f32: mu, lam, viscosity
+    material: jnp.ndarray     # (NP,) int32
+    orig: jnp.ndarray         # (NP,) int32 original index, -1 = padding
+    chunk_tile: jnp.ndarray   # (NCHUNK,) int32
+    chunk_first: jnp.ndarray  # (NCHUNK,) int32 (1 = first chunk of its tile)
+    need_rebucket: jnp.ndarray  # () bool
+    ok: jnp.ndarray           # () bool — tiled layout valid (occ <= cap)
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack
+# ---------------------------------------------------------------------------
+
+def pack_q(soa: SoAState) -> jnp.ndarray:
+    """SoA planes -> (QROWS, N) packed matrix."""
+    rows = (
+        list(soa.x) + list(soa.v) + list(soa.C) + list(soa.F)
+        + list(soa.F_trial)
+        + [soa.mass, soa.vol, soa.yield_stress]
+    )
+    n = soa.mass.shape[0]
+    q = jnp.stack(rows + [jnp.zeros_like(soa.mass)] * (QROWS - len(rows)))
+    return q
+
+
+def unpack_q(q: jnp.ndarray, soa_template: SoAState) -> SoAState:
+    """(QROWS, N) in ORIGINAL order -> SoAState (cov/init_cov from template)."""
+    return soa_template._replace(
+        x=tuple(q[RX + i] for i in range(3)),
+        v=tuple(q[RV + i] for i in range(3)),
+        C=tuple(q[RC + i] for i in range(9)),
+        F=tuple(q[RF + i] for i in range(9)),
+        F_trial=tuple(q[RFT + i] for i in range(9)),
+        mass=q[RMASS],
+        vol=q[RVOL],
+        yield_stress=q[RYIELD],
+    )
+
+
+def to_original_order(ts: TiledState, n: int) -> jnp.ndarray:
+    """Gathers ts.q back to original particle order -> (QROWS, n)."""
+    idx = jnp.where(ts.orig >= 0, ts.orig, n)
+    out = jnp.zeros((QROWS, n + 1), ts.q.dtype).at[:, idx].set(ts.q)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# rebucketing
+# ---------------------------------------------------------------------------
+
+def _pad_pattern(tc: TileConfig, grid: GridConfig, slot_tile: jnp.ndarray):
+    """Default q columns for padding slots: tile-center x, F=I, mass=0."""
+    nt = tc.nt
+    t3 = jnp.stack([
+        slot_tile // (nt * nt), (slot_tile // nt) % nt, slot_tile % nt
+    ])  # (3, NP)
+    x = (t3.astype(jnp.float32) * T_TILE + T_TILE / 2 + 0.5) * grid.dx
+    pat = jnp.zeros((QROWS, slot_tile.shape[0]), jnp.float32)
+    pat = pat.at[RX:RX + 3].set(x)
+    for d in (0, 4, 8):
+        pat = pat.at[RF + d].set(1.0)
+        pat = pat.at[RFT + d].set(1.0)
+    return pat
+
+
+def rebucket(ts: TiledState, grid: GridConfig, tc: TileConfig) -> TiledState:
+    """Sort particles into tile buckets with S-aligned per-tile ranges."""
+    g, nt, S, NP = tc.n_grid, tc.nt, tc.S, tc.np_rows
+    ntiles = tc.ntiles
+    x = ts.q[RX:RX + 3]
+    valid = ts.orig >= 0
+
+    cell = jnp.clip(jnp.floor(x * grid.inv_dx), 0, g - 1).astype(jnp.int32)
+    t3 = cell // T_TILE
+    tid = (t3[0] * nt + t3[1]) * nt + t3[2]
+    tid = jnp.where(valid, tid, ntiles)
+
+    counts = jnp.zeros((ntiles + 1,), jnp.int32).at[tid].add(1)
+    occ = counts[:ntiles] > 0
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    ok = n_occ <= tc.occ_cap
+
+    padded = -(-counts[:ntiles] // S) * S
+    dst_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
+    )  # (ntiles+1,)
+    total_used = dst_start[-1]
+
+    order = jnp.argsort(tid, stable=True)
+    tid_sorted = tid[order]
+    first_pos = jnp.searchsorted(tid_sorted, jnp.arange(ntiles + 1))
+    rank = jnp.arange(NP, dtype=jnp.int32) - first_pos[
+        jnp.clip(tid_sorted, 0, ntiles)
+    ].astype(jnp.int32)
+    valid_sorted = tid_sorted < ntiles
+    dest = jnp.where(
+        valid_sorted, dst_start[jnp.clip(tid_sorted, 0, ntiles - 1)] + rank, NP
+    )
+
+    src = jnp.full((NP,), -1, jnp.int32).at[dest].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    has_src = src >= 0
+    src_c = jnp.clip(src, 0, NP - 1)
+
+    # slot -> tile (for padding pattern + chunk table)
+    slot_tile = jnp.clip(
+        jnp.searchsorted(dst_start, jnp.arange(NP), side="right") - 1,
+        0, ntiles - 1,
+    ).astype(jnp.int32)
+
+    pat = _pad_pattern(tc, grid, slot_tile)
+    new_q = jnp.where(has_src[None, :], ts.q[:, src_c], pat)
+    new_aux = jnp.where(has_src[None, :], ts.aux[:, src_c], 0.0)
+    new_mat = jnp.where(has_src, ts.material[src_c], 0)
+    new_orig = jnp.where(has_src, ts.orig[src_c], -1)
+
+    # chunk tables
+    cpos = jnp.arange(tc.nchunk, dtype=jnp.int32) * S
+    active = cpos < total_used
+    ctile = slot_tile[jnp.clip(cpos, 0, NP - 1)]
+    last_tile = slot_tile[jnp.clip(total_used - 1, 0, NP - 1)]
+    chunk_tile = jnp.where(active, ctile, last_tile).astype(jnp.int32)
+    chunk_first = (
+        active & (cpos == dst_start[jnp.clip(chunk_tile, 0, ntiles - 1)])
+    ).astype(jnp.int32)
+
+    return TiledState(
+        q=new_q, aux=new_aux, material=new_mat, orig=new_orig,
+        chunk_tile=chunk_tile, chunk_first=chunk_first,
+        need_rebucket=jnp.asarray(False),
+        ok=jnp.asarray(ok),
+    )
+
+
+def bootstrap(
+    soa: SoAState, model: MPMModel, grid: GridConfig, tc: TileConfig
+) -> TiledState:
+    """Initial TiledState from SoA state + per-particle model params."""
+    n, NP = tc.n_particles, tc.np_rows
+    q = pack_q(soa)
+    q = jnp.pad(q, ((0, 0), (0, NP - n)))
+    aux = jnp.zeros((AUXROWS, NP), jnp.float32)
+    aux = aux.at[AMU, :n].set(model.mu)
+    aux = aux.at[ALAM, :n].set(model.lam)
+    aux = aux.at[AVISC, :n].set(model.viscosity)
+    material = jnp.pad(model.material.astype(jnp.int32), (0, NP - n))
+    orig = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((NP - n,), -1, jnp.int32),
+    ])
+    ts = TiledState(
+        q=q, aux=aux, material=material, orig=orig,
+        chunk_tile=jnp.zeros((tc.nchunk,), jnp.int32),
+        chunk_first=jnp.zeros((tc.nchunk,), jnp.int32),
+        need_rebucket=jnp.asarray(False), ok=jnp.asarray(True),
+    )
+    return rebucket(ts, grid, tc)
+
+
+# ---------------------------------------------------------------------------
+# window fold / extract (XLA, static shapes)
+# ---------------------------------------------------------------------------
+
+def fold_windows(windows: jnp.ndarray, tc: TileConfig):
+    """(ntiles, 64, 256) P2G windows -> core grid (mass (G^3,), 3 mom planes).
+
+    Window of tile t covers padded cells [8t, 8t+16) = padded-grid tiles
+    t, t+1 per axis -> 8 static octant adds, then edge fold (same clamp
+    semantics as sim/kernels.py:p2g_soa).
+    """
+    nt, g = tc.nt, tc.n_grid
+    w = windows.reshape(nt, nt, nt, 4, W_WIN, W_WIN, W_WIN)
+    acc = jnp.zeros((4, nt + 1, 8, nt + 1, 8, nt + 1, 8), windows.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                oct_ = w[:, :, :, :, a * 8:(a + 1) * 8,
+                         b * 8:(b + 1) * 8, c * 8:(c + 1) * 8]
+                acc = acc.at[:, a:a + nt, :, b:b + nt, :, c:c + nt, :].add(
+                    oct_.transpose(3, 0, 4, 1, 5, 2, 6)
+                )
+    P = tc.pad_axis
+    flat = acc.reshape(4, P, P, P)
+
+    def fold_axis(arr, axis):
+        lo = jnp.sum(
+            jax.lax.slice_in_dim(arr, 0, PAD_LO, axis=axis),
+            axis=axis, keepdims=True,
+        )
+        hi = jnp.sum(
+            jax.lax.slice_in_dim(arr, PAD_LO + g, P, axis=axis),
+            axis=axis, keepdims=True,
+        )
+        core = jax.lax.slice_in_dim(arr, PAD_LO, PAD_LO + g, axis=axis)
+        first = jax.lax.slice_in_dim(core, 0, 1, axis=axis) + lo
+        mid = jax.lax.slice_in_dim(core, 1, g - 1, axis=axis)
+        last = jax.lax.slice_in_dim(core, g - 1, g, axis=axis) + hi
+        return jnp.concatenate([first, mid, last], axis=axis)
+
+    for axis in (1, 2, 3):
+        flat = fold_axis(flat, axis)
+    flat = flat.reshape(4, g * g * g)
+    return flat[0], (flat[1], flat[2], flat[3])
+
+
+def extract_windows(grid_v: Tuple, tc: TileConfig) -> jnp.ndarray:
+    """Core grid velocity (3 planes of (G^3,)) -> (ntiles, 48, 256) windows.
+
+    Edge-replicated halo (parity with g2p_soa's mode="edge" pad).
+    """
+    nt, g, P = tc.nt, tc.n_grid, tc.pad_axis
+    gv = jnp.stack(grid_v).reshape(3, g, g, g)
+    pad = ((0, 0), (PAD_LO, P - PAD_LO - g), (PAD_LO, P - PAD_LO - g),
+           (PAD_LO, P - PAD_LO - g))
+    gp = jnp.pad(gv, pad, mode="edge")
+    tiled = gp.reshape(3, nt + 1, 8, nt + 1, 8, nt + 1, 8)
+    cat = functools.partial(jnp.concatenate, axis=None)
+
+    def two(axis_tile, axis_local, arr):
+        a0 = jax.lax.slice_in_dim(arr, 0, nt, axis=axis_tile)
+        a1 = jax.lax.slice_in_dim(arr, 1, nt + 1, axis=axis_tile)
+        return jnp.concatenate([a0, a1], axis=axis_local)
+
+    win = two(1, 2, tiled)      # (3, nt, 16, nt+1, 8, nt+1, 8)
+    win = two(3, 4, win)        # (3, nt, 16, nt, 16, nt+1, 8)
+    win = two(5, 6, win)        # (3, nt, 16, nt, 16, nt, 16)
+    win = win.transpose(1, 3, 5, 0, 2, 4, 6)  # (nt,nt,nt,3,16,16,16)
+    return win.reshape(tc.ntiles, 3 * W_WIN, W_WIN * W_WIN)
+
+
+# ---------------------------------------------------------------------------
+# per-chunk separable transfer math — pure-JAX reference implementation
+# ---------------------------------------------------------------------------
+
+def _axis_bases(xrow, torg, grid: GridConfig, tc: TileConfig):
+    """Per-axis 16-slot spline bases for one chunk.
+
+    xrow: (S,) positions along the axis; torg: window origin in cells
+    (= 8*tile_coord - PAD_LO ... expressed so that local slot = padded base
+    - 8*tile).  Returns (w, dw, u) each (16, S); dw is inv_dx-scaled, u is
+    the unscaled APIC moment basis w*(i - fx).
+    """
+    g = tc.n_grid
+    gp = xrow * grid.inv_dx
+    basef = jnp.floor(gp - 0.5)
+    fx = gp - basef
+    basep = jnp.clip(basef, -1, g - 1).astype(jnp.int32) + PAD_LO
+    local = jnp.clip(basep - torg, LOCAL_MIN, LOCAL_MAX)
+    slots = jnp.arange(W_WIN, dtype=jnp.int32)[:, None]
+    k = slots - local[None, :]
+    kf = k.astype(xrow.dtype)
+    w0 = 0.5 * (1.5 - fx) ** 2
+    w1 = 0.75 - (fx - 1.0) ** 2
+    w2 = 0.5 * (fx - 0.5) ** 2
+    w = jnp.where(
+        k == 0, w0[None], jnp.where(k == 1, w1[None],
+                                    jnp.where(k == 2, w2[None], 0.0))
+    )
+    d0 = (fx - 1.5) * grid.inv_dx
+    d1 = -2.0 * (fx - 1.0) * grid.inv_dx
+    d2 = (fx - 0.5) * grid.inv_dx
+    dw = jnp.where(
+        k == 0, d0[None], jnp.where(k == 1, d1[None],
+                                    jnp.where(k == 2, d2[None], 0.0))
+    )
+    u = w * (kf - fx[None, :])
+    return w, dw, u, fx
+
+
+def _tile_origin(tid, tc: TileConfig):
+    nt = tc.nt
+    t3 = (tid // (nt * nt), (tid // nt) % nt, tid % nt)
+    return tuple(t * T_TILE for t in t3)  # window origin in padded coords
+
+
+def p2g_chunk_ref(q, sig, tid, grid: GridConfig, tc: TileConfig, dt):
+    """One chunk's P2G window: q (QROWS,S), sig (16,S) -> (64, 256).
+
+    Same separable term structure as the Pallas kernel (TILED_DESIGN.md);
+    einsum stands in for the MXU matmuls.
+    """
+    torg = _tile_origin(tid, tc)
+    wx, dwx, uxa, _ = _axis_bases(q[RX + 0], torg[0], grid, tc)
+    wy, dwy, uya, _ = _axis_bases(q[RX + 1], torg[1], grid, tc)
+    wz, dwz, uza, _ = _axis_bases(q[RX + 2], torg[2], grid, tc)
+    m = q[RMASS]
+    vol = q[RVOL]
+    dx = grid.dx
+
+    def tri(ax, ay, az, coef):
+        return jnp.einsum("is,js,ks,s->ijk", ax, ay, az, coef)
+
+    win = [tri(wx, wy, wz, m)]
+    for r in range(3):
+        mom = tri(wx, wy, wz, m * q[RV + r])
+        mom += tri(uxa, wy, wz, m * dx * q[RC + 3 * r + 0])
+        mom += tri(wx, uya, wz, m * dx * q[RC + 3 * r + 1])
+        mom += tri(wx, wy, uza, m * dx * q[RC + 3 * r + 2])
+        mom += tri(dwx, wy, wz, -dt * vol * sig[3 * r + 0])
+        mom += tri(wx, dwy, wz, -dt * vol * sig[3 * r + 1])
+        mom += tri(wx, wy, dwz, -dt * vol * sig[3 * r + 2])
+        win.append(mom)
+    return jnp.stack(win).reshape(4 * W_WIN, W_WIN * W_WIN)
+
+
+def g2p_chunk_ref(q, win, tid, grid: GridConfig, tc: TileConfig, dt):
+    """One chunk's G2P: q (QROWS,S), win (48,256) -> new q (QROWS,S)."""
+    torg = _tile_origin(tid, tc)
+    wx, dwx, uxa, _ = _axis_bases(q[RX + 0], torg[0], grid, tc)
+    wy, dwy, uya, _ = _axis_bases(q[RX + 1], torg[1], grid, tc)
+    wz, dwz, uza, _ = _axis_bases(q[RX + 2], torg[2], grid, tc)
+    gv = win.reshape(3, W_WIN, W_WIN, W_WIN)
+
+    def tri(r, ax, ay, az):
+        return jnp.einsum("ijk,is,js,ks->s", gv[r], ax, ay, az)
+
+    new_v = [tri(r, wx, wy, wz) for r in range(3)]
+    grad = [[tri(r, dwx, wy, wz), tri(r, wx, dwy, wz), tri(r, wx, wy, dwz)]
+            for r in range(3)]
+    coef = 4.0 * grid.inv_dx
+    new_C = [[coef * tri(r, uxa, wy, wz), coef * tri(r, wx, uya, wz),
+              coef * tri(r, wx, wy, uza)] for r in range(3)]
+
+    valid = q[RMASS] > 0
+    dt_ = jnp.asarray(dt, q.dtype)
+    new_x = [q[RX + a] + dt_ * new_v[a] for a in range(3)]
+    # F_trial = (I + dt grad) @ F
+    eye = np.eye(3)
+    Ft = []
+    for r in range(3):
+        for c in range(3):
+            acc = 0.0
+            for k in range(3):
+                gk = grad[r][k] * dt_ + (1.0 if k == r else 0.0)
+                acc = acc + gk * q[RF + 3 * k + c]
+            Ft.append(acc)
+
+    out = q
+    for a in range(3):
+        out = out.at[RX + a].set(jnp.where(valid, new_x[a], q[RX + a]))
+        out = out.at[RV + a].set(jnp.where(valid, new_v[a], 0.0))
+    for r in range(3):
+        for c in range(3):
+            out = out.at[RC + 3 * r + c].set(
+                jnp.where(valid, new_C[r][c], 0.0)
+            )
+            out = out.at[RFT + 3 * r + c].set(
+                jnp.where(valid, Ft[3 * r + c], q[RF + 3 * r + c])
+            )
+    # drift flag on the advected position
+    g = tc.n_grid
+    drift = jnp.zeros_like(q[RMASS], dtype=bool)
+    for a in range(3):
+        gp = out[RX + a] * grid.inv_dx
+        basep = jnp.clip(jnp.floor(gp - 0.5), -1, g - 1).astype(jnp.int32) \
+            + PAD_LO
+        local = basep - torg[a]
+        drift = drift | (local < SAFE_MIN) | (local > SAFE_MAX)
+    out = out.at[RDRIFT].set((valid & drift).astype(q.dtype))
+    return out
+
+
+def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt):
+    """All chunks via vmap; returns per-tile windows (ntiles, 64, 256)."""
+    qc = ts.q.reshape(QROWS, tc.nchunk, tc.S).transpose(1, 0, 2)
+    sc = sig.reshape(16, tc.nchunk, tc.S).transpose(1, 0, 2)
+    cw = jax.vmap(
+        lambda q, s, t: p2g_chunk_ref(q, s, t, grid, tc, dt)
+    )(qc, sc, ts.chunk_tile)
+    return jnp.zeros(
+        (tc.ntiles, 4 * W_WIN, W_WIN * W_WIN), cw.dtype
+    ).at[ts.chunk_tile].add(cw)
+
+
+def g2p_tiled_ref(ts: TiledState, windows: jnp.ndarray, grid, tc, dt):
+    qc = ts.q.reshape(QROWS, tc.nchunk, tc.S).transpose(1, 0, 2)
+    wc = windows[ts.chunk_tile]
+    out = jax.vmap(
+        lambda q, w, t: g2p_chunk_ref(q, w, t, grid, tc, dt)
+    )(qc, wc, ts.chunk_tile)
+    return out.transpose(1, 0, 2).reshape(QROWS, tc.np_rows)
+
+
+# ---------------------------------------------------------------------------
+# substep driver
+# ---------------------------------------------------------------------------
+
+def substep_tiled(
+    ts: TiledState,
+    model: MPMModel,
+    bcs,
+    time,
+    grid: GridConfig,
+    tc: TileConfig,
+    dt: float,
+    impl: str = "ref",
+) -> TiledState:
+    """One MLS-MPM substep in the tiled layout.
+
+    Same op order as sim/kernels.py:substep_soa (parity
+    /root/reference/mpm_solver/solver.py:27-52): particle BCs -> stress ->
+    P2G -> grid update/BCs -> G2P.
+    """
+    ts = jax.lax.cond(
+        ts.need_rebucket, lambda s: rebucket(s, grid, tc), lambda s: s, ts
+    )
+
+    q = ts.q
+    # particle-phase BCs (impulse) on the packed rows
+    if bcs.particle_ops:
+        x_aos = q[RX:RX + 3].T
+        v_aos = q[RV:RV + 3].T
+        for op in bcs.particle_ops:
+            v_aos = op.apply_particles(x_aos, v_aos, q[RMASS], time, dt)
+        q = q.at[RV:RV + 3].set(v_aos.T)
+
+    # stress (XLA elementwise; cheap)
+    F_trial = tuple(q[RFT + i] for i in range(9))
+    new_F, stress, new_yield = compute_stress_soa(
+        F_trial, ts.material, ts.aux[AMU], ts.aux[ALAM], q[RYIELD],
+        model.alpha, model.hardening, model.xi, model.plastic_viscosity,
+        model.softening, dt, active_materials=model.active_materials,
+    )
+    for i in range(9):
+        q = q.at[RF + i].set(new_F[i])
+    q = q.at[RYIELD].set(new_yield)
+    sig = jnp.concatenate([
+        jnp.stack(stress), jnp.zeros((16 - 9, tc.np_rows), q.dtype)
+    ])
+    ts = dataclasses.replace(ts, q=q)
+
+    # P2G -> windows -> fold -> grid
+    if impl == "pallas":
+        from gsmpm_tpu.sim.pallas_mpm import g2p_tiled_pallas, p2g_tiled_pallas
+
+        windows = p2g_tiled_pallas(ts, sig, grid, tc, dt)
+    else:
+        windows = p2g_tiled_ref(ts, sig, grid, tc, dt)
+    grid_mass, grid_mom = fold_windows(windows, tc)
+    grid_v = grid_update_soa(grid_mass, grid_mom, model.gravity, dt)
+
+    if bcs.grid_ops:
+        g = grid.n_grid
+        coords = jnp.stack(
+            [jax.lax.broadcasted_iota(jnp.float32, (g, g, g), d)
+             for d in range(3)], axis=-1,
+        ).reshape(-1, 3)
+        gv_aos = jnp.stack(grid_v, axis=-1)
+        for op in bcs.grid_ops:
+            gv_aos = op.apply_grid(gv_aos, coords, time, dt, grid.dx)
+        grid_v = tuple(gv_aos[:, r] for r in range(3))
+
+    # extract windows -> G2P
+    win_in = extract_windows(grid_v, tc)
+    if impl == "pallas":
+        new_q = g2p_tiled_pallas(ts, win_in, grid, tc, dt)
+    else:
+        new_q = g2p_tiled_ref(ts, win_in, grid, tc, dt)
+
+    need = jnp.max(new_q[RDRIFT]) > 0
+    return dataclasses.replace(ts, q=new_q, need_rebucket=need)
+
+
+def run_substeps_tiled(
+    soa: SoAState,
+    model: MPMModel,
+    bcs,
+    time,
+    n_substeps: int,
+    grid: GridConfig,
+    dt: float,
+    impl: str = "ref",
+    tc: Optional[TileConfig] = None,
+):
+    """Scan n_substeps in tiled layout; converts SoA <-> tiled at the ends.
+
+    Falls back particle-for-particle exactly (same substep semantics as
+    substep_soa); the caller is responsible for choosing the tiled path only
+    for forward simulation (fitting keeps the differentiable XLA path).
+    """
+    n = soa.mass.shape[0]
+    if tc is None:
+        tc = default_tile_config(grid.n_grid, n)
+    ts0 = bootstrap(soa, model, grid, tc)
+
+    def body(carry, _):
+        ts, t = carry
+        ts = substep_tiled(ts, model, bcs, t, grid, tc, dt, impl=impl)
+        return (ts, t + dt), None
+
+    (ts, time), _ = jax.lax.scan(body, (ts0, time), None, length=n_substeps)
+    q = to_original_order(ts, n)
+    return unpack_q(q, soa), time, ts.ok
