@@ -1,0 +1,314 @@
+"""Pallas TPU kernels for the tile-bucketed separable MPM transfer.
+
+The MXU/VPU implementation of the per-chunk math in sim/tiles.py
+(p2g_chunk_ref / g2p_chunk_ref are the golden models; design in
+sim/TILED_DESIGN.md).  One grid step = one chunk of S particles belonging to
+one tile:
+
+P2G: build 16-slot per-axis spline bases (16,S) on the VPU, expand the five
+(y,z) basis pairs to (256,S), stack the 22 q-scaled x-side row groups to
+(352,S), and accumulate window += X @ G1^T on the MXU into the tile's
+(4,16,16,16) output block (revisited across the tile's chunks, flushed once).
+
+G2P: windows arrive as (48,256) blocks; five pair matmuls (48,256)@(256,S)
+produce per-particle partial sums which the x-side bases reduce to v, grad_v
+and APIC C; advection and F_trial update happen in-register before the
+(QROWS,S) block is written back (aliased with the input q).
+
+No scatter, no gather, no atomics anywhere — parity with the reference's
+ti.atomic_add P2G (/root/reference/mpm_solver/utils.py:89-134) comes from the
+algebraic identity of the separable B-spline expansion, tested against the
+oracle in tests/test_tiles.py / tests/test_pallas_mpm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsmpm_tpu.sim.state import GridConfig
+from gsmpm_tpu.sim.tiles import (
+    LOCAL_MAX,
+    LOCAL_MIN,
+    PAD_LO,
+    QROWS,
+    RC,
+    RDRIFT,
+    RF,
+    RFT,
+    RMASS,
+    RVOL,
+    RV,
+    RX,
+    RYIELD,
+    SAFE_MAX,
+    SAFE_MIN,
+    T_TILE,
+    TileConfig,
+    TiledState,
+    W_WIN,
+)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _axis_bases_k(xrow, torg, inv_dx, g, S, dtype):
+    """(1,S) positions -> (16,S) w, dw, u bases (mirrors tiles._axis_bases)."""
+    gp = xrow * inv_dx
+    basef = jnp.floor(gp - 0.5)
+    fx = gp - basef
+    basep = jnp.clip(basef, -1.0, g - 1.0) + PAD_LO
+    local = jnp.clip(basep - torg.astype(dtype), LOCAL_MIN, LOCAL_MAX)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, S), 0).astype(dtype)
+    k = slots - local  # (16, S) float slot distance
+    kf = k
+    w0 = 0.5 * (1.5 - fx) ** 2
+    w1 = 0.75 - (fx - 1.0) ** 2
+    w2 = 0.5 * (fx - 0.5) ** 2
+    is0 = k == 0.0
+    is1 = k == 1.0
+    is2 = k == 2.0
+    w = jnp.where(is0, w0, jnp.where(is1, w1, jnp.where(is2, w2, 0.0)))
+    d0 = (fx - 1.5) * inv_dx
+    d1 = -2.0 * (fx - 1.0) * inv_dx
+    d2 = (fx - 0.5) * inv_dx
+    dw = jnp.where(is0, d0, jnp.where(is1, d1, jnp.where(is2, d2, 0.0)))
+    u = w * (kf - fx)
+    return w, dw, u
+
+
+def _pair(a16, b16):
+    """(16,S) x (16,S) -> (256,S) outer with a on the major (slow) slot axis."""
+    # rows (ny*16+nz): a repeated per-row-block (aabb), b tiled (abab)
+    a_rep = jnp.repeat(a16, W_WIN, axis=0)
+    b_til = jnp.tile(b16, (W_WIN, 1))
+    return a_rep * b_til
+
+
+def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
+                *, S, g, dx, inv_dx, dt):
+    c = pl.program_id(0)
+    dtype = q_ref.dtype
+    tx = torg_ref[c, 0].astype(dtype)
+    ty = torg_ref[c, 1].astype(dtype)
+    tz = torg_ref[c, 2].astype(dtype)
+
+    wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
+    wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
+    wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
+
+    m = q_ref[RMASS:RMASS + 1]
+    negdtv = -dt * q_ref[RVOL:RVOL + 1]
+    mdx = m * dx
+
+    # pair (w,w): rows = [m] + [m v_r]*3 + [m dx C_r0 via ux]*3 + [-dtV s_r0 via dwx]*3
+    X_ww = jnp.concatenate(
+        [wx * m]
+        + [wx * (m * q_ref[RV + r:RV + r + 1]) for r in range(3)]
+        + [ux * (mdx * q_ref[RC + 3 * r:RC + 3 * r + 1]) for r in range(3)]
+        + [dwx * (negdtv * sig_ref[3 * r:3 * r + 1]) for r in range(3)],
+        axis=0,
+    )  # (160, S)
+    X_uy = jnp.concatenate(
+        [wx * (mdx * q_ref[RC + 3 * r + 1:RC + 3 * r + 2]) for r in range(3)],
+        axis=0,
+    )
+    X_uz = jnp.concatenate(
+        [wx * (mdx * q_ref[RC + 3 * r + 2:RC + 3 * r + 3]) for r in range(3)],
+        axis=0,
+    )
+    X_dy = jnp.concatenate(
+        [wx * (negdtv * sig_ref[3 * r + 1:3 * r + 2]) for r in range(3)],
+        axis=0,
+    )
+    X_dz = jnp.concatenate(
+        [wx * (negdtv * sig_ref[3 * r + 2:3 * r + 3]) for r in range(3)],
+        axis=0,
+    )
+
+    dn = (((1,), (1,)), ((), ()))
+    mm = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    r_ww = mm(X_ww, _pair(wy, wz))   # (160, 256)
+    r_uy = mm(X_uy, _pair(uy, wz))   # (48, 256)
+    r_uz = mm(X_uz, _pair(wy, uz))
+    r_dy = mm(X_dy, _pair(dwy, wz))
+    r_dz = mm(X_dz, _pair(wy, dwz))
+
+    # assemble window (4*16, 256): comp 0 = mass, comp 1+r = momentum r
+    parts = [r_ww[0:16]]
+    for r in range(3):
+        mom = (
+            r_ww[16 * (1 + r):16 * (2 + r)]
+            + r_ww[16 * (4 + r):16 * (5 + r)]
+            + r_ww[16 * (7 + r):16 * (8 + r)]
+            + r_uy[16 * r:16 * (r + 1)]
+            + r_uz[16 * r:16 * (r + 1)]
+            + r_dy[16 * r:16 * (r + 1)]
+            + r_dz[16 * r:16 * (r + 1)]
+        )
+        parts.append(mom)
+    win = jnp.concatenate(parts, axis=0)  # (64, 256)
+
+    @pl.when(first_ref[c] == 1)
+    def _():
+        out_ref[0] = win
+
+    @pl.when(first_ref[c] != 1)
+    def _():
+        out_ref[0] += win
+
+
+def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
+                     dt) -> jnp.ndarray:
+    """(QROWS,NP) q + (16,NP) sig -> per-tile windows (ntiles, 64, 256)."""
+    S = tc.S
+    nt = tc.nt
+    torg = jnp.stack([
+        (ts.chunk_tile // (nt * nt)) * T_TILE,
+        ((ts.chunk_tile // nt) % nt) * T_TILE,
+        (ts.chunk_tile % nt) * T_TILE,
+    ], axis=-1).astype(jnp.int32)  # (NCHUNK, 3)
+
+    kernel = functools.partial(
+        _p2g_kernel, S=S, g=float(tc.n_grid), dx=float(grid.dx),
+        inv_dx=float(grid.inv_dx), dt=float(dt),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tc.nchunk,),
+        in_specs=[
+            pl.BlockSpec((QROWS, S), lambda c, t, f, o: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, S), lambda c, t, f, o: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4 * W_WIN, W_WIN * W_WIN), lambda c, t, f, o: (t[c], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    windows = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (tc.ntiles, 4 * W_WIN, W_WIN * W_WIN), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(ts.chunk_tile, ts.chunk_first, torg, ts.q, sig)
+
+    # zero windows of unoccupied tiles (their blocks are never written)
+    occupied = jnp.zeros((tc.ntiles,), bool).at[ts.chunk_tile].set(True)
+    return jnp.where(occupied[:, None, None], windows, 0.0)
+
+
+def _g2p_kernel(tile_ref, torg_ref, q_ref, win_ref, out_ref,
+                *, S, g, inv_dx, dt):
+    c = pl.program_id(0)
+    dtype = q_ref.dtype
+    tx = torg_ref[c, 0].astype(dtype)
+    ty = torg_ref[c, 1].astype(dtype)
+    tz = torg_ref[c, 2].astype(dtype)
+
+    wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
+    wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
+    wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
+
+    W = win_ref[0]  # (48, 256): comp r rows [16r, 16r+16)
+
+    dn = (((1,), (0,)), ((), ()))
+    mm = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    t_ww = mm(W, _pair(wy, wz))    # (48, S)
+    t_uy = mm(W, _pair(uy, wz))
+    t_uz = mm(W, _pair(wy, uz))
+    t_dy = mm(W, _pair(dwy, wz))
+    t_dz = mm(W, _pair(wy, dwz))
+
+    def red(xb, t, r):
+        return jnp.sum(xb * t[16 * r:16 * (r + 1)], axis=0, keepdims=True)
+
+    coef = 4.0 * inv_dx
+    new_v = [red(wx, t_ww, r) for r in range(3)]           # (1,S) each
+    grad = [[red(dwx, t_ww, r), red(wx, t_dy, r), red(wx, t_dz, r)]
+            for r in range(3)]
+    new_C = [[coef * red(ux, t_ww, r), coef * red(wx, t_uy, r),
+              coef * red(wx, t_uz, r)] for r in range(3)]
+
+    valid = q_ref[RMASS:RMASS + 1] > 0
+    out_ref[:] = q_ref[:]
+    new_x = []
+    for a in range(3):
+        xa = q_ref[RX + a:RX + a + 1]
+        nx = jnp.where(valid, xa + dt * new_v[a], xa)
+        new_x.append(nx)
+        out_ref[RX + a:RX + a + 1] = nx
+        out_ref[RV + a:RV + a + 1] = jnp.where(valid, new_v[a], 0.0)
+    for r in range(3):
+        for cc in range(3):
+            out_ref[RC + 3 * r + cc:RC + 3 * r + cc + 1] = jnp.where(
+                valid, new_C[r][cc], 0.0
+            )
+            acc = jnp.zeros_like(new_v[0])
+            for k in range(3):
+                gk = grad[r][k] * dt + (1.0 if k == r else 0.0)
+                acc = acc + gk * q_ref[RF + 3 * k + cc:RF + 3 * k + cc + 1]
+            out_ref[RFT + 3 * r + cc:RFT + 3 * r + cc + 1] = jnp.where(
+                valid, acc, q_ref[RF + 3 * r + cc:RF + 3 * r + cc + 1]
+            )
+
+    drift = jnp.zeros_like(new_v[0], dtype=jnp.bool_)
+    for a, ta in zip(range(3), (tx, ty, tz)):
+        gp = new_x[a] * inv_dx
+        basep = jnp.clip(jnp.floor(gp - 0.5), -1.0, g - 1.0) + PAD_LO
+        local = basep - ta
+        drift = drift | (local < SAFE_MIN) | (local > SAFE_MAX)
+    out_ref[RDRIFT:RDRIFT + 1] = (valid & drift).astype(dtype)
+
+
+def g2p_tiled_pallas(ts: TiledState, windows, grid: GridConfig,
+                     tc: TileConfig, dt) -> jnp.ndarray:
+    """q (QROWS,NP) + windows (ntiles, 48, 256) -> new q (QROWS,NP)."""
+    S = tc.S
+    nt = tc.nt
+    torg = jnp.stack([
+        (ts.chunk_tile // (nt * nt)) * T_TILE,
+        ((ts.chunk_tile // nt) % nt) * T_TILE,
+        (ts.chunk_tile % nt) * T_TILE,
+    ], axis=-1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _g2p_kernel, S=S, g=float(tc.n_grid), inv_dx=float(grid.inv_dx),
+        dt=float(dt),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tc.nchunk,),
+        in_specs=[
+            pl.BlockSpec((QROWS, S), lambda c, t, o: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * W_WIN, W_WIN * W_WIN),
+                         lambda c, t, o: (t[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QROWS, S), lambda c, t, o: (0, c),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((QROWS, tc.np_rows), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(ts.chunk_tile, torg, ts.q, windows)
