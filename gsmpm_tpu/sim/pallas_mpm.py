@@ -5,17 +5,24 @@ The MXU/VPU implementation of the per-chunk math in sim/tiles.py
 sim/TILED_DESIGN.md).  One grid step = one chunk of S particles belonging to
 one tile:
 
-P2G: build 16-slot per-axis spline bases (16,S) on the VPU, expand the five
-(y,z) basis pairs to (256,S), stack the 22 q-scaled x-side row groups to
-(352,S), and accumulate window += X @ G1^T on the MXU into the tile's
-(4,16,16,16) output block (revisited across the tile's chunks, flushed once).
+P2G: build 16-slot per-axis spline bases (16,S) on the VPU, apply the
+per-axis boundary clamp matrix (domain-edge contributions fold onto the
+boundary cells inside the kernel, so the XLA side never pad-folds), expand
+the five (y,z) basis pairs to (256,S) in octant-blocked column order
+(b,c,yl,zl), and accumulate the 22 q-scaled x-side row groups against them
+on the MXU.  The window is emitted octant-decomposed as a (256,64) block:
+row = oct*32 + comp*8 + xl with oct = a*4+b*2+c, col = yl*8 + zl.  Octant
+(a,b,c) of tile t belongs entirely to padded-grid tile t+(a,b,c), so the
+XLA-side fold is 8 in-order strided-slice adds -- no transposes anywhere.
 
-G2P: windows arrive as (48,256) blocks; five pair matmuls (48,256)@(256,S)
-produce per-particle partial sums which the x-side bases reduce to v, grad_v
-and APIC C; advection and F_trial update happen in-register before the
-(QROWS,S) block is written back (aliased with the input q).
+G2P: per-tile input is the 8 surrounding padded-grid tiles packed as a
+(192,64) block (row = oct*24 + comp*8 + xl); the kernel reassembles the
+(48,256) window with a lane concat, runs the five pair matmuls
+(48,256)@(256,S), and reduces with the x-side bases to v, grad_v and APIC
+C; advection and F_trial update happen in-register before the (QROWS,S)
+block is written back.
 
-No scatter, no gather, no atomics anywhere — parity with the reference's
+No scatter, no gather, no atomics anywhere -- parity with the reference's
 ti.atomic_add P2G (/root/reference/mpm_solver/utils.py:89-134) comes from the
 algebraic identity of the separable B-spline expansion, tested against the
 oracle in tests/test_tiles.py / tests/test_pallas_mpm.py.
@@ -24,11 +31,9 @@ oracle in tests/test_tiles.py / tests/test_pallas_mpm.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,7 +51,6 @@ from gsmpm_tpu.sim.tiles import (
     RVOL,
     RV,
     RX,
-    RYIELD,
     SAFE_MAX,
     SAFE_MIN,
     T_TILE,
@@ -60,8 +64,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# f32 operands on the MXU default to a single bf16 pass (~3e-3 rel error,
+# which compounds over substeps). The transfer matmuls are small (K=256) and
+# the kernel is VPU/VMEM-bound, so full-f32 accumulation is near-free.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _clamp_matrix(torg, g, dtype):
+    """(16,16) M with M[j,k]=1 iff window slot k clamps to slot j.
+
+    Domain-boundary clamp: padded cell torg+k clips to core range
+    [PAD_LO, PAD_LO+g-1] (same semantics as the reference's implicit OOB
+    clamp, /root/reference/mpm_solver/utils.py:114). Applying M to the
+    axis bases folds out-of-domain stencil weight onto the boundary cell,
+    so window pad slots never carry (P2G) or read (G2P) anything.
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, W_WIN), 0).astype(dtype)
+    k = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, W_WIN), 1).astype(dtype)
+    tk = jnp.clip(k + torg, float(PAD_LO), PAD_LO + g - 1.0) - torg
+    return (tk == j).astype(dtype)
+
+
 def _axis_bases_k(xrow, torg, inv_dx, g, S, dtype):
-    """(1,S) positions -> (16,S) w, dw, u bases (mirrors tiles._axis_bases)."""
+    """(1,S) positions -> (16,S) w, dw, u bases (mirrors tiles._axis_bases).
+
+    All three are boundary-clamped via the (16,16) clamp matrix.
+    """
     gp = xrow * inv_dx
     basef = jnp.floor(gp - 0.5)
     fx = gp - basef
@@ -82,15 +110,28 @@ def _axis_bases_k(xrow, torg, inv_dx, g, S, dtype):
     d2 = (fx - 0.5) * inv_dx
     dw = jnp.where(is0, d0, jnp.where(is1, d1, jnp.where(is2, d2, 0.0)))
     u = w * (kf - fx)
-    return w, dw, u
+    M = _clamp_matrix(torg.astype(dtype), g, dtype)
+    mm = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
+    )
+    return mm(M, w), mm(M, dw), mm(M, u)
 
 
-def _pair(a16, b16):
-    """(16,S) x (16,S) -> (256,S) outer with a on the major (slow) slot axis."""
-    # rows (ny*16+nz): a repeated per-row-block (aabb), b tiled (abab)
-    a_rep = jnp.repeat(a16, W_WIN, axis=0)
-    b_til = jnp.tile(b16, (W_WIN, 1))
-    return a_rep * b_til
+def _pair_bc(y16, z16):
+    """(16,S) x (16,S) -> (256,S) pair basis in (b, c, yl, zl) row order.
+
+    Row b*128 + c*64 + yl*8 + zl = y16[b*8+yl] * z16[c*8+zl]; octant (b,c)
+    occupies the contiguous row block [((b*2+c)*64, +64) so the window's
+    columns are octant-blocked.
+    """
+    blocks = []
+    for b in (0, 1):
+        y_rep = jnp.repeat(y16[b * 8:(b + 1) * 8], T_TILE, axis=0)  # (64,S)
+        for c in (0, 1):
+            z_til = jnp.tile(z16[c * 8:(c + 1) * 8], (T_TILE, 1))   # (64,S)
+            blocks.append(y_rep * z_til)
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
@@ -137,15 +178,15 @@ def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
     dn = (((1,), (1,)), ((), ()))
     mm = functools.partial(
         jax.lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
     )
-    r_ww = mm(X_ww, _pair(wy, wz))   # (160, 256)
-    r_uy = mm(X_uy, _pair(uy, wz))   # (48, 256)
-    r_uz = mm(X_uz, _pair(wy, uz))
-    r_dy = mm(X_dy, _pair(dwy, wz))
-    r_dz = mm(X_dz, _pair(wy, dwz))
+    r_ww = mm(X_ww, _pair_bc(wy, wz))   # (160, 256)
+    r_uy = mm(X_uy, _pair_bc(uy, wz))   # (48, 256)
+    r_uz = mm(X_uz, _pair_bc(wy, uz))
+    r_dy = mm(X_dy, _pair_bc(dwy, wz))
+    r_dz = mm(X_dz, _pair_bc(wy, dwz))
 
-    # assemble window (4*16, 256): comp 0 = mass, comp 1+r = momentum r
+    # per-component window planes (16, 256): rows x-slot, cols (b,c,yl,zl)
     parts = [r_ww[0:16]]
     for r in range(3):
         mom = (
@@ -158,20 +199,30 @@ def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
             + r_dz[16 * r:16 * (r + 1)]
         )
         parts.append(mom)
-    win = jnp.concatenate(parts, axis=0)  # (64, 256)
+
+    # octant-decomposed (32,64) pieces: oct (a,b,c) -> padded tile t+(a,b,c)
+    pieces = []
+    for a in (0, 1):
+        for bc in range(4):
+            pieces.append(jnp.concatenate(
+                [parts[comp][a * 8:a * 8 + 8, bc * 64:(bc + 1) * 64]
+                 for comp in range(4)], axis=0,
+            ))
 
     @pl.when(first_ref[c] == 1)
     def _():
-        out_ref[0] = win
+        for o, piece in enumerate(pieces):
+            out_ref[0, o * 32:(o + 1) * 32, :] = piece
 
     @pl.when(first_ref[c] != 1)
     def _():
-        out_ref[0] += win
+        for o, piece in enumerate(pieces):
+            out_ref[0, o * 32:(o + 1) * 32, :] += piece
 
 
 def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
                      dt) -> jnp.ndarray:
-    """(QROWS,NP) q + (16,NP) sig -> per-tile windows (ntiles, 64, 256)."""
+    """(QROWS,NP) q + (16,NP) sig -> octant windows (ntiles, 256, 64)."""
     S = tc.S
     nt = tc.nt
     torg = jnp.stack([
@@ -194,14 +245,14 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4 * W_WIN, W_WIN * W_WIN), lambda c, t, f, o: (t[c], 0, 0),
+            (1, 8 * 4 * T_TILE, T_TILE * T_TILE), lambda c, t, f, o: (t[c], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     windows = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (tc.ntiles, 4 * W_WIN, W_WIN * W_WIN), jnp.float32
+            (tc.ntiles, 8 * 4 * T_TILE, T_TILE * T_TILE), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
@@ -212,7 +263,7 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
     return jnp.where(occupied[:, None, None], windows, 0.0)
 
 
-def _g2p_kernel(tile_ref, torg_ref, q_ref, win_ref, out_ref,
+def _g2p_kernel(tile_ref, torg_ref, q_ref, ext_ref, out_ref,
                 *, S, g, inv_dx, dt):
     c = pl.program_id(0)
     dtype = q_ref.dtype
@@ -224,18 +275,30 @@ def _g2p_kernel(tile_ref, torg_ref, q_ref, win_ref, out_ref,
     wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
     wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
 
-    W = win_ref[0]  # (48, 256): comp r rows [16r, 16r+16)
+    # reassemble the (48, 256) window from 8 octant blocks: row comp*16+
+    # (a*8+xl), col (b,c,yl,zl) -- a lane concat of four clean 64-wide parts
+    Wbc = []
+    for b in (0, 1):
+        for cz in (0, 1):
+            rows = []
+            for comp in range(3):
+                for a in (0, 1):
+                    o = a * 4 + b * 2 + cz
+                    rows.append(ext_ref[0, o * 24 + comp * 8:
+                                        o * 24 + comp * 8 + 8, :])
+            Wbc.append(jnp.concatenate(rows, axis=0))  # (48, 64)
+    W = jnp.concatenate(Wbc, axis=1)  # (48, 256)
 
     dn = (((1,), (0,)), ((), ()))
     mm = functools.partial(
         jax.lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
     )
-    t_ww = mm(W, _pair(wy, wz))    # (48, S)
-    t_uy = mm(W, _pair(uy, wz))
-    t_uz = mm(W, _pair(wy, uz))
-    t_dy = mm(W, _pair(dwy, wz))
-    t_dz = mm(W, _pair(wy, dwz))
+    t_ww = mm(W, _pair_bc(wy, wz))    # (48, S)
+    t_uy = mm(W, _pair_bc(uy, wz))
+    t_uz = mm(W, _pair_bc(wy, uz))
+    t_dy = mm(W, _pair_bc(dwy, wz))
+    t_dz = mm(W, _pair_bc(wy, dwz))
 
     def red(xb, t, r):
         return jnp.sum(xb * t[16 * r:16 * (r + 1)], axis=0, keepdims=True)
@@ -278,9 +341,9 @@ def _g2p_kernel(tile_ref, torg_ref, q_ref, win_ref, out_ref,
     out_ref[RDRIFT:RDRIFT + 1] = (valid & drift).astype(dtype)
 
 
-def g2p_tiled_pallas(ts: TiledState, windows, grid: GridConfig,
+def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
                      tc: TileConfig, dt) -> jnp.ndarray:
-    """q (QROWS,NP) + windows (ntiles, 48, 256) -> new q (QROWS,NP)."""
+    """q (QROWS,NP) + octant grid (ntiles, 192, 64) -> new q (QROWS,NP)."""
     S = tc.S
     nt = tc.nt
     torg = jnp.stack([
@@ -299,7 +362,7 @@ def g2p_tiled_pallas(ts: TiledState, windows, grid: GridConfig,
         in_specs=[
             pl.BlockSpec((QROWS, S), lambda c, t, o: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * W_WIN, W_WIN * W_WIN),
+            pl.BlockSpec((1, 8 * 3 * T_TILE, T_TILE * T_TILE),
                          lambda c, t, o: (t[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -311,4 +374,4 @@ def g2p_tiled_pallas(ts: TiledState, windows, grid: GridConfig,
         out_shape=jax.ShapeDtypeStruct((QROWS, tc.np_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(ts.chunk_tile, torg, ts.q, windows)
+    )(ts.chunk_tile, torg, ts.q, ext)

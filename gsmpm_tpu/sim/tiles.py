@@ -208,11 +208,14 @@ def rebucket(ts: TiledState, grid: GridConfig, tc: TileConfig) -> TiledState:
     has_src = src >= 0
     src_c = jnp.clip(src, 0, NP - 1)
 
-    # slot -> tile (for padding pattern + chunk table)
-    slot_tile = jnp.clip(
-        jnp.searchsorted(dst_start, jnp.arange(NP), side="right") - 1,
+    # chunk -> tile first (searchsorted over nchunk positions, not NP slots),
+    # then slot_tile by repeat: slot s lives in chunk s // S
+    cpos = jnp.arange(tc.nchunk, dtype=jnp.int32) * S
+    chunk_tile0 = jnp.clip(
+        jnp.searchsorted(dst_start, cpos, side="right") - 1,
         0, ntiles - 1,
     ).astype(jnp.int32)
+    slot_tile = jnp.repeat(chunk_tile0, S)
 
     pat = _pad_pattern(tc, grid, slot_tile)
     new_q = jnp.where(has_src[None, :], ts.q[:, src_c], pat)
@@ -221,11 +224,9 @@ def rebucket(ts: TiledState, grid: GridConfig, tc: TileConfig) -> TiledState:
     new_orig = jnp.where(has_src, ts.orig[src_c], -1)
 
     # chunk tables
-    cpos = jnp.arange(tc.nchunk, dtype=jnp.int32) * S
     active = cpos < total_used
-    ctile = slot_tile[jnp.clip(cpos, 0, NP - 1)]
     last_tile = slot_tile[jnp.clip(total_used - 1, 0, NP - 1)]
-    chunk_tile = jnp.where(active, ctile, last_tile).astype(jnp.int32)
+    chunk_tile = jnp.where(active, chunk_tile0, last_tile).astype(jnp.int32)
     chunk_first = (
         active & (cpos == dst_start[jnp.clip(chunk_tile, 0, ntiles - 1)])
     ).astype(jnp.int32)
@@ -267,71 +268,47 @@ def bootstrap(
 # window fold / extract (XLA, static shapes)
 # ---------------------------------------------------------------------------
 
-def fold_windows(windows: jnp.ndarray, tc: TileConfig):
-    """(ntiles, 64, 256) P2G windows -> core grid (mass (G^3,), 3 mom planes).
+def fold_windows(windows: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
+    """Octant P2G windows (ntiles, 256, 64) -> blocked grid (T,T,T,32,64).
 
-    Window of tile t covers padded cells [8t, 8t+16) = padded-grid tiles
-    t, t+1 per axis -> 8 static octant adds, then edge fold (same clamp
-    semantics as sim/kernels.py:p2g_soa).
+    Octant o = a*4+b*2+c of tile t (rows [o*32, o*32+32), row comp*8+xl,
+    col yl*8+zl) belongs entirely to padded-grid tile t+(a,b,c), so the
+    fold is 8 in-order slice adds -- no transposes, no relayouts. Domain
+    boundary clamping already happened inside the transfer kernels (clamp
+    matrix), so there is no pad folding here.
     """
-    nt, g = tc.nt, tc.n_grid
-    w = windows.reshape(nt, nt, nt, 4, W_WIN, W_WIN, W_WIN)
-    acc = jnp.zeros((4, nt + 1, 8, nt + 1, 8, nt + 1, 8), windows.dtype)
+    nt, T = tc.nt, tc.nt + 1
+    acc = jnp.zeros((T, T, T, 4 * T_TILE, T_TILE * T_TILE), windows.dtype)
+    o = 0
     for a in (0, 1):
         for b in (0, 1):
             for c in (0, 1):
-                oct_ = w[:, :, :, :, a * 8:(a + 1) * 8,
-                         b * 8:(b + 1) * 8, c * 8:(c + 1) * 8]
-                acc = acc.at[:, a:a + nt, :, b:b + nt, :, c:c + nt, :].add(
-                    oct_.transpose(3, 0, 4, 1, 5, 2, 6)
+                oc = windows[:, o * 32:(o + 1) * 32, :].reshape(
+                    nt, nt, nt, 4 * T_TILE, T_TILE * T_TILE
                 )
-    P = tc.pad_axis
-    flat = acc.reshape(4, P, P, P)
-
-    def fold_axis(arr, axis):
-        lo = jnp.sum(
-            jax.lax.slice_in_dim(arr, 0, PAD_LO, axis=axis),
-            axis=axis, keepdims=True,
-        )
-        hi = jnp.sum(
-            jax.lax.slice_in_dim(arr, PAD_LO + g, P, axis=axis),
-            axis=axis, keepdims=True,
-        )
-        core = jax.lax.slice_in_dim(arr, PAD_LO, PAD_LO + g, axis=axis)
-        first = jax.lax.slice_in_dim(core, 0, 1, axis=axis) + lo
-        mid = jax.lax.slice_in_dim(core, 1, g - 1, axis=axis)
-        last = jax.lax.slice_in_dim(core, g - 1, g, axis=axis) + hi
-        return jnp.concatenate([first, mid, last], axis=axis)
-
-    for axis in (1, 2, 3):
-        flat = fold_axis(flat, axis)
-    flat = flat.reshape(4, g * g * g)
-    return flat[0], (flat[1], flat[2], flat[3])
+                acc = acc.at[a:a + nt, b:b + nt, c:c + nt].add(oc)
+                o += 1
+    return acc
 
 
-def extract_windows(grid_v: Tuple, tc: TileConfig) -> jnp.ndarray:
-    """Core grid velocity (3 planes of (G^3,)) -> (ntiles, 48, 256) windows.
+def extract_windows(gvb: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
+    """Blocked grid velocities (T,T,T,24,64) -> octant blocks (ntiles,192,64).
 
-    Edge-replicated halo (parity with g2p_soa's mode="edge" pad).
+    Inverse addressing of fold_windows: tile t's G2P input stacks the 8
+    padded-grid tiles t+(a,b,c) (rows oct*24 + comp*8 + xl, col yl*8+zl).
+    Pure in-order slices + one concat -- no transposes.
     """
-    nt, g, P = tc.nt, tc.n_grid, tc.pad_axis
-    gv = jnp.stack(grid_v).reshape(3, g, g, g)
-    pad = ((0, 0), (PAD_LO, P - PAD_LO - g), (PAD_LO, P - PAD_LO - g),
-           (PAD_LO, P - PAD_LO - g))
-    gp = jnp.pad(gv, pad, mode="edge")
-    tiled = gp.reshape(3, nt + 1, 8, nt + 1, 8, nt + 1, 8)
-    cat = functools.partial(jnp.concatenate, axis=None)
-
-    def two(axis_tile, axis_local, arr):
-        a0 = jax.lax.slice_in_dim(arr, 0, nt, axis=axis_tile)
-        a1 = jax.lax.slice_in_dim(arr, 1, nt + 1, axis=axis_tile)
-        return jnp.concatenate([a0, a1], axis=axis_local)
-
-    win = two(1, 2, tiled)      # (3, nt, 16, nt+1, 8, nt+1, 8)
-    win = two(3, 4, win)        # (3, nt, 16, nt, 16, nt+1, 8)
-    win = two(5, 6, win)        # (3, nt, 16, nt, 16, nt, 16)
-    win = win.transpose(1, 3, 5, 0, 2, 4, 6)  # (nt,nt,nt,3,16,16,16)
-    return win.reshape(tc.ntiles, 3 * W_WIN, W_WIN * W_WIN)
+    nt = tc.nt
+    parts = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                parts.append(
+                    gvb[a:a + nt, b:b + nt, c:c + nt].reshape(
+                        tc.ntiles, 3 * T_TILE, T_TILE * T_TILE
+                    )
+                )
+    return jnp.concatenate(parts, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +347,14 @@ def _axis_bases(xrow, torg, grid: GridConfig, tc: TileConfig):
                                     jnp.where(k == 2, d2[None], 0.0))
     )
     u = w * (kf - fx[None, :])
-    return w, dw, u, fx
+    # domain-boundary clamp: fold out-of-domain stencil weight onto the
+    # boundary cell (slot torg+k clips to core [PAD_LO, PAD_LO+g-1]);
+    # mirrors the reference's implicit OOB clamp (utils.py:114)
+    j = jnp.arange(W_WIN, dtype=jnp.int32)[:, None]
+    kk = jnp.arange(W_WIN, dtype=jnp.int32)[None, :]
+    tk = jnp.clip(kk + torg, PAD_LO, PAD_LO + g - 1) - torg
+    M = (tk == j).astype(w.dtype)
+    return M @ w, M @ dw, M @ u, fx
 
 
 def _tile_origin(tid, tc: TileConfig):
@@ -380,9 +364,10 @@ def _tile_origin(tid, tc: TileConfig):
 
 
 def p2g_chunk_ref(q, sig, tid, grid: GridConfig, tc: TileConfig, dt):
-    """One chunk's P2G window: q (QROWS,S), sig (16,S) -> (64, 256).
+    """One chunk's P2G octant window: q (QROWS,S), sig (16,S) -> (256, 64).
 
-    Same separable term structure as the Pallas kernel (TILED_DESIGN.md);
+    Row = oct*32 + comp*8 + xl with oct = a*4+b*2+c, col = yl*8+zl. Same
+    separable term structure as the Pallas kernel (TILED_DESIGN.md);
     einsum stands in for the MXU matmuls.
     """
     torg = _tile_origin(tid, tc)
@@ -406,16 +391,22 @@ def p2g_chunk_ref(q, sig, tid, grid: GridConfig, tc: TileConfig, dt):
         mom += tri(wx, dwy, wz, -dt * vol * sig[3 * r + 1])
         mom += tri(wx, wy, dwz, -dt * vol * sig[3 * r + 2])
         win.append(mom)
-    return jnp.stack(win).reshape(4 * W_WIN, W_WIN * W_WIN)
+    # (4,16,16,16) -> octant rows (a,b,c,comp,xl) x cols (yl,zl)
+    w4 = jnp.stack(win).reshape(4, 2, T_TILE, 2, T_TILE, 2, T_TILE)
+    return w4.transpose(1, 3, 5, 0, 2, 4, 6).reshape(
+        8 * 4 * T_TILE, T_TILE * T_TILE
+    )
 
 
-def g2p_chunk_ref(q, win, tid, grid: GridConfig, tc: TileConfig, dt):
-    """One chunk's G2P: q (QROWS,S), win (48,256) -> new q (QROWS,S)."""
+def g2p_chunk_ref(q, ext, tid, grid: GridConfig, tc: TileConfig, dt):
+    """One chunk's G2P: q (QROWS,S), octant grid ext (192,64) -> new q."""
     torg = _tile_origin(tid, tc)
     wx, dwx, uxa, _ = _axis_bases(q[RX + 0], torg[0], grid, tc)
     wy, dwy, uya, _ = _axis_bases(q[RX + 1], torg[1], grid, tc)
     wz, dwz, uza, _ = _axis_bases(q[RX + 2], torg[2], grid, tc)
-    gv = win.reshape(3, W_WIN, W_WIN, W_WIN)
+    gv = ext.reshape(2, 2, 2, 3, T_TILE, T_TILE, T_TILE).transpose(
+        3, 0, 4, 1, 5, 2, 6
+    ).reshape(3, W_WIN, W_WIN, W_WIN)
 
     def tri(r, ax, ay, az):
         return jnp.einsum("ijk,is,js,ks->s", gv[r], ax, ay, az)
@@ -467,14 +458,14 @@ def g2p_chunk_ref(q, win, tid, grid: GridConfig, tc: TileConfig, dt):
 
 
 def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt):
-    """All chunks via vmap; returns per-tile windows (ntiles, 64, 256)."""
+    """All chunks via vmap; returns octant windows (ntiles, 256, 64)."""
     qc = ts.q.reshape(QROWS, tc.nchunk, tc.S).transpose(1, 0, 2)
     sc = sig.reshape(16, tc.nchunk, tc.S).transpose(1, 0, 2)
     cw = jax.vmap(
         lambda q, s, t: p2g_chunk_ref(q, s, t, grid, tc, dt)
     )(qc, sc, ts.chunk_tile)
     return jnp.zeros(
-        (tc.ntiles, 4 * W_WIN, W_WIN * W_WIN), cw.dtype
+        (tc.ntiles, 8 * 4 * T_TILE, T_TILE * T_TILE), cw.dtype
     ).at[ts.chunk_tile].add(cw)
 
 
@@ -535,29 +526,45 @@ def substep_tiled(
     ])
     ts = dataclasses.replace(ts, q=q)
 
-    # P2G -> windows -> fold -> grid
+    # P2G -> octant windows -> fold -> blocked grid (T,T,T,32,64)
     if impl == "pallas":
         from gsmpm_tpu.sim.pallas_mpm import g2p_tiled_pallas, p2g_tiled_pallas
 
         windows = p2g_tiled_pallas(ts, sig, grid, tc, dt)
     else:
         windows = p2g_tiled_ref(ts, sig, grid, tc, dt)
-    grid_mass, grid_mom = fold_windows(windows, tc)
-    grid_v = grid_update_soa(grid_mass, grid_mom, model.gravity, dt)
+    acc = fold_windows(windows, tc)
+    grid_v = grid_update_soa(
+        acc[:, :, :, 0:T_TILE],
+        (acc[:, :, :, T_TILE:2 * T_TILE],
+         acc[:, :, :, 2 * T_TILE:3 * T_TILE],
+         acc[:, :, :, 3 * T_TILE:4 * T_TILE]),
+        model.gravity, dt,
+    )  # 3 planes of (T,T,T,8,64)
 
     if bcs.grid_ops:
-        g = grid.n_grid
-        coords = jnp.stack(
-            [jax.lax.broadcasted_iota(jnp.float32, (g, g, g), d)
-             for d in range(3)], axis=-1,
+        T = tc.nt + 1
+        sh = (T, T, T, T_TILE, T_TILE * T_TILE)
+        # core-cell coordinates of every blocked cell: x = 8*tx + row,
+        # y = 8*ty + lane//8, z = 8*tz + lane%8, each minus PAD_LO (pad
+        # cells get out-of-range coords; they carry zero mass/velocity and
+        # are never read back by G2P thanks to the kernel clamp matrix)
+        lane = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
+        li = [jax.lax.broadcasted_iota(jnp.int32, sh, 3),
+              lane // T_TILE, lane % T_TILE]
+        coords = jnp.stack([
+            (jax.lax.broadcasted_iota(jnp.int32, sh, d) * T_TILE
+             + li[d] - PAD_LO).astype(jnp.float32)
+            for d in range(3)], axis=-1,
         ).reshape(-1, 3)
-        gv_aos = jnp.stack(grid_v, axis=-1)
+        gv_aos = jnp.stack(grid_v, axis=-1).reshape(-1, 3)
         for op in bcs.grid_ops:
             gv_aos = op.apply_grid(gv_aos, coords, time, dt, grid.dx)
-        grid_v = tuple(gv_aos[:, r] for r in range(3))
+        grid_v = tuple(gv_aos[:, r].reshape(sh) for r in range(3))
 
-    # extract windows -> G2P
-    win_in = extract_windows(grid_v, tc)
+    # extract per-tile octant blocks -> G2P
+    gvb = jnp.concatenate(grid_v, axis=3)  # (T,T,T,24,64)
+    win_in = extract_windows(gvb, tc)
     if impl == "pallas":
         new_q = g2p_tiled_pallas(ts, win_in, grid, tc, dt)
     else:

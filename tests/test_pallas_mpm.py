@@ -77,7 +77,7 @@ def test_g2p_pallas_matches_ref():
     ts = bootstrap(soa, model, grid, tc)
     rng = np.random.default_rng(1)
     windows = jnp.asarray(
-        rng.normal(size=(tc.ntiles, 48, 256)).astype(np.float32)
+        rng.normal(size=(tc.ntiles, 192, 64)).astype(np.float32)
     )
     ref = g2p_tiled_ref(ts, windows, grid, tc, cfg.substep_dt)
     out = g2p_tiled_pallas(ts, windows, grid, tc, cfg.substep_dt)
