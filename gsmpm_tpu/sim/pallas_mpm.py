@@ -6,7 +6,7 @@ sim/TILED_DESIGN.md).  One grid step = one chunk of S particles belonging to
 one tile:
 
 P2G: build 16-slot per-axis spline bases (16,S) on the VPU, apply the
-per-axis boundary clamp matrix (domain-edge contributions fold onto the
+per-axis boundary clamp (domain-edge contributions fold onto the
 boundary cells inside the kernel, so the XLA side never pad-folds), expand
 the five (y,z) basis pairs to (256,S) in octant-blocked column order
 (b,c,yl,zl), and accumulate the 22 q-scaled x-side row groups against them
@@ -65,30 +65,58 @@ def _use_interpret() -> bool:
 
 
 # f32 operands on the MXU default to a single bf16 pass (~3e-3 rel error,
-# which compounds over substeps). The transfer matmuls are small (K=256) and
-# the kernel is VPU/VMEM-bound, so full-f32 accumulation is near-free.
+# which compounds over substeps). Mosaic doesn't support Precision.HIGH, and
+# HIGHEST costs 6 passes; _mm3 below hand-rolls the 3-pass bf16 split
+# (a_hi+a_lo)@(b_hi+b_lo) dropping the lo*lo term -- ~1e-6 rel error at half
+# the MXU time of HIGHEST.
 _MM_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _clamp_matrix(torg, g, dtype):
-    """(16,16) M with M[j,k]=1 iff window slot k clamps to slot j.
+def _mm3(a, b, dn):
+    """f32 x f32 matmul as 3 bf16 MXU passes (~bf16x3 / Precision.HIGH)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mm = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return mm(a_hi, b_hi) + (mm(a_lo, b_hi) + mm(a_hi, b_lo))
+
+
+def _clamp_bases(slots, torg, g, *bases):
+    """Fold out-of-domain slot weight onto the boundary slots (VPU only).
 
     Domain-boundary clamp: padded cell torg+k clips to core range
     [PAD_LO, PAD_LO+g-1] (same semantics as the reference's implicit OOB
-    clamp, /root/reference/mpm_solver/utils.py:114). Applying M to the
-    axis bases folds out-of-domain stencil weight onto the boundary cell,
-    so window pad slots never carry (P2G) or read (G2P) anything.
+    clamp, /root/reference/mpm_solver/utils.py:114). The clamped region is
+    always a contiguous edge range of slots, so this is a pair of masked
+    column sums per basis -- no (16,16) matmuls (those cost ~1ms/substep in
+    MXU issue latency across 1.3k chunks). For interior tiles lo<=0 and
+    hi>=15, every mask is empty and the bases pass through unchanged.
     """
-    j = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, W_WIN), 0).astype(dtype)
-    k = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, W_WIN), 1).astype(dtype)
-    tk = jnp.clip(k + torg, float(PAD_LO), PAD_LO + g - 1.0) - torg
-    return (tk == j).astype(dtype)
+    lo = PAD_LO - torg                  # first valid slot
+    hi = PAD_LO + g - 1.0 - torg        # last valid slot
+    below = slots < lo
+    above = slots > hi
+    inside = (~below) & (~above)
+    at_lo = slots == lo
+    at_hi = slots == hi
+    out = []
+    for b in bases:
+        s_lo = jnp.sum(jnp.where(below, b, 0.0), axis=0, keepdims=True)
+        s_hi = jnp.sum(jnp.where(above, b, 0.0), axis=0, keepdims=True)
+        out.append(jnp.where(inside, b, 0.0)
+                   + jnp.where(at_lo, s_lo, 0.0)
+                   + jnp.where(at_hi, s_hi, 0.0))
+    return out
 
 
 def _axis_bases_k(xrow, torg, inv_dx, g, S, dtype):
     """(1,S) positions -> (16,S) w, dw, u bases (mirrors tiles._axis_bases).
 
-    All three are boundary-clamped via the (16,16) clamp matrix.
+    All three are boundary-clamped via _clamp_bases.
     """
     gp = xrow * inv_dx
     basef = jnp.floor(gp - 0.5)
@@ -110,12 +138,7 @@ def _axis_bases_k(xrow, torg, inv_dx, g, S, dtype):
     d2 = (fx - 0.5) * inv_dx
     dw = jnp.where(is0, d0, jnp.where(is1, d1, jnp.where(is2, d2, 0.0)))
     u = w * (kf - fx)
-    M = _clamp_matrix(torg.astype(dtype), g, dtype)
-    mm = functools.partial(
-        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
-    )
-    return mm(M, w), mm(M, dw), mm(M, u)
+    return _clamp_bases(slots, torg, g, w, dw, u)
 
 
 def _pair_bc(y16, z16):
@@ -176,15 +199,11 @@ def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
     )
 
     dn = (((1,), (1,)), ((), ()))
-    mm = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
-    )
-    r_ww = mm(X_ww, _pair_bc(wy, wz))   # (160, 256)
-    r_uy = mm(X_uy, _pair_bc(uy, wz))   # (48, 256)
-    r_uz = mm(X_uz, _pair_bc(wy, uz))
-    r_dy = mm(X_dy, _pair_bc(dwy, wz))
-    r_dz = mm(X_dz, _pair_bc(wy, dwz))
+    r_ww = _mm3(X_ww, _pair_bc(wy, wz), dn)   # (160, 256)
+    r_uy = _mm3(X_uy, _pair_bc(uy, wz), dn)   # (48, 256)
+    r_uz = _mm3(X_uz, _pair_bc(wy, uz), dn)
+    r_dy = _mm3(X_dy, _pair_bc(dwy, wz), dn)
+    r_dz = _mm3(X_dz, _pair_bc(wy, dwz), dn)
 
     # per-component window planes (16, 256): rows x-slot, cols (b,c,yl,zl)
     parts = [r_ww[0:16]]
@@ -290,15 +309,11 @@ def _g2p_kernel(tile_ref, torg_ref, q_ref, ext_ref, out_ref,
     W = jnp.concatenate(Wbc, axis=1)  # (48, 256)
 
     dn = (((1,), (0,)), ((), ()))
-    mm = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=_MM_PRECISION,
-    )
-    t_ww = mm(W, _pair_bc(wy, wz))    # (48, S)
-    t_uy = mm(W, _pair_bc(uy, wz))
-    t_uz = mm(W, _pair_bc(wy, uz))
-    t_dy = mm(W, _pair_bc(dwy, wz))
-    t_dz = mm(W, _pair_bc(wy, dwz))
+    t_ww = _mm3(W, _pair_bc(wy, wz), dn)    # (48, S)
+    t_uy = _mm3(W, _pair_bc(uy, wz), dn)
+    t_uz = _mm3(W, _pair_bc(wy, uz), dn)
+    t_dy = _mm3(W, _pair_bc(dwy, wz), dn)
+    t_dz = _mm3(W, _pair_bc(wy, dwz), dn)
 
     def red(xb, t, r):
         return jnp.sum(xb * t[16 * r:16 * (r + 1)], axis=0, keepdims=True)

@@ -63,8 +63,9 @@ def test_p2g_pallas_matches_ref():
     ref = p2g_tiled_ref(ts, sig, grid, tc, cfg.substep_dt)
     out = p2g_tiled_pallas(ts, sig, grid, tc, cfg.substep_dt)
     scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    # kernel matmuls run as 3-pass bf16 splits (_mm3) vs the ref's f32
     np.testing.assert_allclose(
-        np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-6
+        np.asarray(out) / scale, np.asarray(ref) / scale, atol=2e-5
     )
 
 
@@ -82,7 +83,7 @@ def test_g2p_pallas_matches_ref():
     ref = g2p_tiled_ref(ts, windows, grid, tc, cfg.substep_dt)
     out = g2p_tiled_pallas(ts, windows, grid, tc, cfg.substep_dt)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        np.asarray(out), np.asarray(ref), rtol=3e-4, atol=1e-4
     )
 
 
