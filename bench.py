@@ -59,6 +59,44 @@ def bench_mpm(cfg, state, model, bcs, grid, substeps_per_frame, n_frames):
 
     from gsmpm_tpu.sim.solver import postprocess, run_substeps
 
+    use_tiled = jax.default_backend() == "tpu"
+    if use_tiled:
+        # the production forward engine on TPU: tiled Pallas transfers with
+        # a persistent TiledState across frames (sim/tiles.py)
+        from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa
+        from gsmpm_tpu.sim.tiles import (
+            bootstrap, default_tile_config, frame_tiled,
+        )
+
+        tc = default_tile_config(cfg.n_grid, int(state.mass.shape[0]))
+        soa_tpl = soa_from_state(state)
+
+        @jax.jit
+        def frame(ts, t):
+            ts, soa, t = frame_tiled(
+                ts, soa_tpl, model, bcs, t, substeps_per_frame, grid, tc,
+                cfg.substep_dt, impl="pallas",
+            )
+            st = state_from_soa(soa)
+            cov6, _ = postprocess(st)
+            return ts, dataclasses.replace(st, cov=cov6), t
+
+        ts = jax.jit(lambda s: bootstrap(soa_from_state(s), model, grid, tc))(
+            state
+        )
+        assert bool(ts.ok), "tile cap overflow in bench scene"
+        t_sim = jnp.float32(0.0)
+        ts, state, t_sim = frame(ts, t_sim)  # compile + warmup
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            ts, state, t_sim = frame(ts, t_sim)
+        jax.block_until_ready(state.x)
+        dt_wall = time.perf_counter() - t0
+        assert bool(ts.ok), "tile cap overflow during bench"
+        assert bool(np.isfinite(np.asarray(state.x)).all()), "sim diverged"
+        return substeps_per_frame * n_frames / dt_wall, state
+
     @jax.jit
     def frame(state, t):
         state, t = run_substeps(

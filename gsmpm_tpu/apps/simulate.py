@@ -144,6 +144,34 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         state = dataclasses.replace(state, cov=cov6_g)
         return state, time_, R
 
+    # tiled Pallas transfer engine (sim/tiles.py + sim/pallas_mpm.py): the
+    # default forward path on TPU; persistent TiledState across frames,
+    # XLA fallback when the occupied-tile cap overflows
+    use_tiled = (
+        jax.default_backend() == "tpu" and not mpm.incremental_cov
+    )
+    if use_tiled:
+        from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa
+        from gsmpm_tpu.sim.tiles import (
+            bootstrap, default_tile_config, frame_tiled,
+        )
+
+        tc = default_tile_config(mpm.n_grid, int(state.mass.shape[0]))
+
+        @jax.jit
+        def tiled_boot(state, model):
+            return bootstrap(soa_from_state(state), model, grid, tc)
+
+        @jax.jit
+        def sim_frame_tiled(ts, soa_tpl, model, time_):
+            ts, soa, time_ = frame_tiled(
+                ts, soa_tpl, model, bcs, time_, n_steps, grid, tc,
+                mpm.substep_dt, impl="pallas",
+            )
+            st = state_from_soa(soa)
+            cov6_g, R = postprocess(st, rotate_sh=mpm.rotate_sh)
+            return ts, dataclasses.replace(st, cov=cov6_g), time_, R
+
     @jax.jit
     def render_frame(xyz_g, cov_g, R):
         # inverse transforms back to world space (parity main.py:139-146)
@@ -184,9 +212,24 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
     save_frame(np.asarray(img), images_dir, start_frame - 1)
     frames_np.append(np.asarray(img))
 
+    ts = None
     for fid in range(start_frame, num_frames + 1):
         t0 = time.time()
-        state, t_sim, R = sim_frame(state, model, t_sim)
+        if use_tiled:
+            if ts is None:
+                ts = tiled_boot(state, model)
+                if not bool(ts.ok):
+                    use_tiled = False  # too many occupied tiles for the cap
+            if use_tiled:
+                ts2, state2, t2, R = sim_frame_tiled(
+                    ts, soa_from_state(state), model, t_sim
+                )
+                if bool(ts2.ok):
+                    ts, state, t_sim = ts2, state2, t2
+                else:
+                    use_tiled = False  # overflow mid-frame: redo on XLA
+        if not use_tiled:
+            state, t_sim, R = sim_frame(state, model, t_sim)
         img = render_frame(state.x, state.cov, R)
         img.block_until_ready()
         save_frame(np.asarray(img), images_dir, fid)

@@ -343,6 +343,14 @@ class MPMSolver:
         self.bcs = BCSet()
         self.time = jnp.float32(0.0)
         self._frame_fn = None
+        # tiled Pallas transfer path: the default forward engine on TPU
+        # (sim/tiles.py, sim/pallas_mpm.py); falls back to the dense XLA
+        # path on overflow or when per-substep cov updates are requested
+        self.use_tiled = (
+            jax.default_backend() == "tpu" and not cfg.incremental_cov
+        )
+        self._ts = None
+        self._tiled_fns = None
 
     def set_boundary_conditions(self, bc_configs):
         from gsmpm_tpu.sim.boundary import build_boundary_conditions
@@ -355,6 +363,7 @@ class MPMSolver:
             grid_ops=self.bcs.grid_ops + bcset.grid_ops,
         )
         self._frame_fn = None
+        self._ts = None
 
     def set_bc_ground_only(self):
         """Parity: set_bc_ground_only (/root/reference/mpm_solver/solver.py:131-133)."""
@@ -365,6 +374,7 @@ class MPMSolver:
             grid_ops=self.bcs.grid_ops + (StickyGroundBC(),),
         )
         self._frame_fn = None
+        self._ts = None
 
     def add_surface_collider(self, point, normal, surface="sticky", friction=0.0):
         from gsmpm_tpu.sim.boundary import make_surface_collider
@@ -375,10 +385,13 @@ class MPMSolver:
             + (make_surface_collider(point, normal, surface, friction),),
         )
         self._frame_fn = None
+        self._ts = None
 
     def step_frame(self, n_substeps: Optional[int] = None):
         """Advance one frame (n_substeps substeps) under a single jit."""
         n = int(n_substeps or self.cfg.steps_per_frame)
+        if self.use_tiled and self._step_frame_tiled(n):
+            return
         if self._frame_fn is None or self._frame_fn_steps != n:
             grid, dt, inc = self.grid, self.cfg.substep_dt, self.cfg.incremental_cov
 
@@ -395,7 +408,59 @@ class MPMSolver:
             self.state, self.model, self.bcs, self.time
         )
 
+    def invalidate_tiled(self):
+        """Drop the tiled mirror (call after mutating self.state in place)."""
+        self._ts = None
+
+    def _step_frame_tiled(self, n: int) -> bool:
+        """Tiled-Pallas frame; returns False if the caller must run XLA."""
+        from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa
+        from gsmpm_tpu.sim.tiles import (
+            bootstrap, default_tile_config, frame_tiled,
+        )
+
+        if self._tiled_fns is None or self._tiled_fns[0] != n:
+            grid, dt = self.grid, self.cfg.substep_dt
+            tc = default_tile_config(
+                self.cfg.n_grid, int(self.state.mass.shape[0])
+            )
+
+            @jax.jit
+            def boot(state, model):
+                return bootstrap(soa_from_state(state), model, grid, tc)
+
+            @jax.jit
+            def frame(ts, soa_tpl, model, bcs, time):
+                ts, soa, time = frame_tiled(
+                    ts, soa_tpl, model, bcs, time, n, grid, tc, dt,
+                    impl="pallas",
+                )
+                return ts, state_from_soa(soa), time
+
+            self._tiled_fns = (n, boot, frame)
+            self._ts = None
+        _, boot, frame = self._tiled_fns
+        if self._ts is None:
+            self._ts = boot(self.state, self.model)
+            if not bool(self._ts.ok):  # occupied tiles exceed cap
+                self.use_tiled = False
+                return False
+        soa_tpl = soa_from_state(self.state)
+        ts, state, time = frame(
+            self._ts, soa_tpl, self.model, self.bcs, self.time
+        )
+        if not bool(ts.ok):
+            self.use_tiled = False  # overflow mid-frame: redo on XLA path
+            self._ts = None
+            return False
+        self._ts, self.state, self.time = ts, state, time
+        return True
+
+    _postprocess_jit = staticmethod(
+        jax.jit(partial(postprocess, rotate_sh=True))
+    )
+
     def postprocess(self):
-        cov6, R = jax.jit(partial(postprocess, rotate_sh=True))(self.state)
+        cov6, R = MPMSolver._postprocess_jit(self.state)
         self.state = dataclasses.replace(self.state, cov=cov6)
         return cov6, R

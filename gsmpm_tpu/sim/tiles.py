@@ -574,6 +574,36 @@ def substep_tiled(
     return dataclasses.replace(ts, q=new_q, need_rebucket=need)
 
 
+def frame_tiled(
+    ts: TiledState,
+    soa_template: SoAState,
+    model: MPMModel,
+    bcs,
+    time,
+    n_substeps: int,
+    grid: GridConfig,
+    tc: TileConfig,
+    dt: float,
+    impl: str = "pallas",
+):
+    """One frame of substeps with a PERSISTENT tiled state.
+
+    Unlike run_substeps_tiled, the TiledState carries across frames (no
+    per-frame bootstrap/pack); only the original-order SoA view for
+    rendering/postprocess is regenerated. Returns (ts, soa, time); check
+    ts.ok -- False means the occupied-tile cap overflowed and the caller
+    must redo the frame on the XLA path from its saved pre-frame state.
+    """
+    def body(carry, _):
+        ts_, t = carry
+        ts_ = substep_tiled(ts_, model, bcs, t, grid, tc, dt, impl=impl)
+        return (ts_, t + dt), None
+
+    (ts, time), _ = jax.lax.scan(body, (ts, time), None, length=n_substeps)
+    q = to_original_order(ts, tc.n_particles)
+    return ts, unpack_q(q, soa_template), time
+
+
 def run_substeps_tiled(
     soa: SoAState,
     model: MPMModel,
