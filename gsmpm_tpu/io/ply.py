@@ -73,7 +73,17 @@ def _parse_header(f) -> Tuple[int, List[Tuple[str, np.dtype]], str]:
 
 
 def read_ply_vertices(path: str) -> Dict[str, np.ndarray]:
-    """Read the vertex element of a binary or ascii PLY into a dict of columns."""
+    """Read the vertex element of a binary or ascii PLY into a dict of columns.
+
+    All-float32 binary files (the 3DGS checkpoint layout) go through the
+    native C++ codec (io/_native.py -> csrc/gsmpm_native.cpp) when built;
+    everything else uses the numpy path below.
+    """
+    from gsmpm_tpu.io import _native
+
+    cols = _native.read_ply_f32_columns(path)
+    if cols is not None:
+        return cols
     with open(path, "rb") as f:
         head = f.read(200)
         if head.startswith(b"version https://git-lfs.github.com"):

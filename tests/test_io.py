@@ -76,3 +76,43 @@ def test_activations():
     assert (eig > -1e-10).all()
     op = np.asarray(scene.get_opacity())
     assert ((op > 0) & (op < 1)).all()
+
+
+def test_native_ply_codec_roundtrip(tmp_path):
+    """C++ codec (csrc/gsmpm_native.cpp) vs the numpy PLY path."""
+    import os
+
+    import numpy as np
+
+    from gsmpm_tpu.io import _native
+    from gsmpm_tpu.io.ply import read_ply_vertices
+
+    rng = np.random.default_rng(3)
+    n, props = 1000, ["x", "y", "z", "opacity"]
+    data = rng.normal(size=(len(props), n)).astype(np.float32)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        + "".join(f"property float {p}\n" for p in props)
+        + "end_header\n"
+    )
+    path = str(tmp_path / "native.ply")
+    if not _native.write_ply_f32_planar(path, header, data):
+        import pytest
+
+        pytest.skip("native codec unavailable (no compiler)")
+    # native read
+    cols = _native.read_ply_f32_columns(path)
+    assert cols is not None and set(cols) == set(props)
+    for i, p in enumerate(props):
+        np.testing.assert_array_equal(cols[p], data[i])
+    # numpy reader agrees on the same bytes
+    os.environ["GSMPM_NO_NATIVE"] = "1"
+    try:
+        _native._TRIED, _native._LIB = True, None
+        ref = read_ply_vertices(path)
+    finally:
+        del os.environ["GSMPM_NO_NATIVE"]
+        _native._TRIED = False
+    for p in props:
+        np.testing.assert_array_equal(ref[p], cols[p])
