@@ -73,6 +73,33 @@ class GaussianScene:
         """Functional update of a subset of gaussian positions (for PCD export)."""
         return replace(self, xyz=self.xyz.at[mask_idx].set(new_xyz))
 
+    def select(self, keep: jnp.ndarray) -> "GaussianScene":
+        """Keep a boolean mask / index array of gaussians (functional)."""
+        return replace(
+            self,
+            xyz=self.xyz[keep],
+            features_dc=self.features_dc[keep],
+            features_rest=self.features_rest[keep],
+            opacity=self.opacity[keep],
+            scaling=self.scaling[keep],
+            rotation=self.rotation[keep],
+        )
+
+    def drop_low_opacity(self, threshold: float = 0.02) -> "GaussianScene":
+        """Prune gaussians below an activated-opacity threshold.
+
+        Parity: the fork-only GaussianModel.drop_low_opacity the reference
+        calls (commented) at /root/reference/main.py:172.
+        """
+        return self.select(self.get_opacity().reshape(-1) >= threshold)
+
+    def drop_empty_gaussians(self, mask: jnp.ndarray) -> "GaussianScene":
+        """Prune gaussians outside a boolean keep-mask (e.g. the sim_area
+        mask). Parity: GaussianModel.drop_empty_gaussians (commented) at
+        /root/reference/main.py:173.
+        """
+        return self.select(jnp.asarray(mask, bool))
+
     # --- I/O ---
 
     @classmethod

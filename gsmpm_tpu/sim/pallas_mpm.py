@@ -157,87 +157,90 @@ def _pair_bc(y16, z16):
     return jnp.concatenate(blocks, axis=0)
 
 
-def _p2g_kernel(tile_ref, first_ref, torg_ref, q_ref, sig_ref, out_ref,
-                *, S, g, dx, inv_dx, dt):
+def _p2g_kernel(tile_ref, first_ref, live_ref, torg_ref, q_ref, sig_ref,
+                out_ref, *, S, g, dx, inv_dx, dt):
     c = pl.program_id(0)
     dtype = q_ref.dtype
     tx = torg_ref[c, 0].astype(dtype)
     ty = torg_ref[c, 1].astype(dtype)
     tz = torg_ref[c, 2].astype(dtype)
 
-    wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
-    wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
-    wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
+    # dead chunks (slack for the occupied-tile cap) skip all work;
+    # their windows were already written by their tile's live chunks
+    @pl.when(live_ref[c] == 1)
+    def _():
+        wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
+        wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
+        wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
 
-    m = q_ref[RMASS:RMASS + 1]
-    negdtv = -dt * q_ref[RVOL:RVOL + 1]
-    mdx = m * dx
+        m = q_ref[RMASS:RMASS + 1]
+        negdtv = -dt * q_ref[RVOL:RVOL + 1]
+        mdx = m * dx
 
-    # pair (w,w): rows = [m] + [m v_r]*3 + [m dx C_r0 via ux]*3 + [-dtV s_r0 via dwx]*3
-    X_ww = jnp.concatenate(
-        [wx * m]
-        + [wx * (m * q_ref[RV + r:RV + r + 1]) for r in range(3)]
-        + [ux * (mdx * q_ref[RC + 3 * r:RC + 3 * r + 1]) for r in range(3)]
-        + [dwx * (negdtv * sig_ref[3 * r:3 * r + 1]) for r in range(3)],
-        axis=0,
-    )  # (160, S)
-    X_uy = jnp.concatenate(
-        [wx * (mdx * q_ref[RC + 3 * r + 1:RC + 3 * r + 2]) for r in range(3)],
-        axis=0,
-    )
-    X_uz = jnp.concatenate(
-        [wx * (mdx * q_ref[RC + 3 * r + 2:RC + 3 * r + 3]) for r in range(3)],
-        axis=0,
-    )
-    X_dy = jnp.concatenate(
-        [wx * (negdtv * sig_ref[3 * r + 1:3 * r + 2]) for r in range(3)],
-        axis=0,
-    )
-    X_dz = jnp.concatenate(
-        [wx * (negdtv * sig_ref[3 * r + 2:3 * r + 3]) for r in range(3)],
-        axis=0,
-    )
-
-    dn = (((1,), (1,)), ((), ()))
-    r_ww = _mm3(X_ww, _pair_bc(wy, wz), dn)   # (160, 256)
-    r_uy = _mm3(X_uy, _pair_bc(uy, wz), dn)   # (48, 256)
-    r_uz = _mm3(X_uz, _pair_bc(wy, uz), dn)
-    r_dy = _mm3(X_dy, _pair_bc(dwy, wz), dn)
-    r_dz = _mm3(X_dz, _pair_bc(wy, dwz), dn)
-
-    # per-component window planes (16, 256): rows x-slot, cols (b,c,yl,zl)
-    parts = [r_ww[0:16]]
-    for r in range(3):
-        mom = (
-            r_ww[16 * (1 + r):16 * (2 + r)]
-            + r_ww[16 * (4 + r):16 * (5 + r)]
-            + r_ww[16 * (7 + r):16 * (8 + r)]
-            + r_uy[16 * r:16 * (r + 1)]
-            + r_uz[16 * r:16 * (r + 1)]
-            + r_dy[16 * r:16 * (r + 1)]
-            + r_dz[16 * r:16 * (r + 1)]
+        # pair (w,w): rows = [m] + [m v_r]*3 + [m dx C_r0 via ux]*3 + [-dtV s_r0 via dwx]*3
+        X_ww = jnp.concatenate(
+            [wx * m]
+            + [wx * (m * q_ref[RV + r:RV + r + 1]) for r in range(3)]
+            + [ux * (mdx * q_ref[RC + 3 * r:RC + 3 * r + 1]) for r in range(3)]
+            + [dwx * (negdtv * sig_ref[3 * r:3 * r + 1]) for r in range(3)],
+            axis=0,
+        )  # (160, S)
+        X_uy = jnp.concatenate(
+            [wx * (mdx * q_ref[RC + 3 * r + 1:RC + 3 * r + 2]) for r in range(3)],
+            axis=0,
         )
-        parts.append(mom)
+        X_uz = jnp.concatenate(
+            [wx * (mdx * q_ref[RC + 3 * r + 2:RC + 3 * r + 3]) for r in range(3)],
+            axis=0,
+        )
+        X_dy = jnp.concatenate(
+            [wx * (negdtv * sig_ref[3 * r + 1:3 * r + 2]) for r in range(3)],
+            axis=0,
+        )
+        X_dz = jnp.concatenate(
+            [wx * (negdtv * sig_ref[3 * r + 2:3 * r + 3]) for r in range(3)],
+            axis=0,
+        )
 
-    # octant-decomposed (32,64) pieces: oct (a,b,c) -> padded tile t+(a,b,c)
-    pieces = []
-    for a in (0, 1):
-        for bc in range(4):
-            pieces.append(jnp.concatenate(
-                [parts[comp][a * 8:a * 8 + 8, bc * 64:(bc + 1) * 64]
-                 for comp in range(4)], axis=0,
-            ))
+        dn = (((1,), (1,)), ((), ()))
+        r_ww = _mm3(X_ww, _pair_bc(wy, wz), dn)   # (160, 256)
+        r_uy = _mm3(X_uy, _pair_bc(uy, wz), dn)   # (48, 256)
+        r_uz = _mm3(X_uz, _pair_bc(wy, uz), dn)
+        r_dy = _mm3(X_dy, _pair_bc(dwy, wz), dn)
+        r_dz = _mm3(X_dz, _pair_bc(wy, dwz), dn)
 
-    @pl.when(first_ref[c] == 1)
-    def _():
-        for o, piece in enumerate(pieces):
-            out_ref[0, o * 32:(o + 1) * 32, :] = piece
+        # per-component window planes (16, 256): rows x-slot, cols (b,c,yl,zl)
+        parts = [r_ww[0:16]]
+        for r in range(3):
+            mom = (
+                r_ww[16 * (1 + r):16 * (2 + r)]
+                + r_ww[16 * (4 + r):16 * (5 + r)]
+                + r_ww[16 * (7 + r):16 * (8 + r)]
+                + r_uy[16 * r:16 * (r + 1)]
+                + r_uz[16 * r:16 * (r + 1)]
+                + r_dy[16 * r:16 * (r + 1)]
+                + r_dz[16 * r:16 * (r + 1)]
+            )
+            parts.append(mom)
 
-    @pl.when(first_ref[c] != 1)
-    def _():
-        for o, piece in enumerate(pieces):
-            out_ref[0, o * 32:(o + 1) * 32, :] += piece
+        # octant-decomposed (32,64) pieces: oct (a,b,c) -> padded tile t+(a,b,c)
+        pieces = []
+        for a in (0, 1):
+            for bc in range(4):
+                pieces.append(jnp.concatenate(
+                    [parts[comp][a * 8:a * 8 + 8, bc * 64:(bc + 1) * 64]
+                     for comp in range(4)], axis=0,
+                ))
 
+        @pl.when(first_ref[c] == 1)
+        def _():
+            for o, piece in enumerate(pieces):
+                out_ref[0, o * 32:(o + 1) * 32, :] = piece
+
+        @pl.when((first_ref[c] != 1) & (live_ref[c] == 1))
+        def _():
+            for o, piece in enumerate(pieces):
+                out_ref[0, o * 32:(o + 1) * 32, :] += piece
 
 def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
                      dt) -> jnp.ndarray:
@@ -255,16 +258,17 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
         inv_dx=float(grid.inv_dx), dt=float(dt),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(tc.nchunk,),
         in_specs=[
-            pl.BlockSpec((QROWS, S), lambda c, t, f, o: (0, c),
+            pl.BlockSpec((QROWS, S), lambda c, t, f, lv, o: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, S), lambda c, t, f, o: (0, c),
+            pl.BlockSpec((16, S), lambda c, t, f, lv, o: (0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8 * 4 * T_TILE, T_TILE * T_TILE), lambda c, t, f, o: (t[c], 0, 0),
+            (1, 8 * 4 * T_TILE, T_TILE * T_TILE),
+            lambda c, t, f, lv, o: (t[c], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -275,14 +279,14 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
         ),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(ts.chunk_tile, ts.chunk_first, torg, ts.q, sig)
+    )(ts.chunk_tile, ts.chunk_first, ts.chunk_live, torg, ts.q, sig)
 
     # zero windows of unoccupied tiles (their blocks are never written)
     occupied = jnp.zeros((tc.ntiles,), bool).at[ts.chunk_tile].set(True)
     return jnp.where(occupied[:, None, None], windows, 0.0)
 
 
-def _g2p_kernel(tile_ref, torg_ref, q_ref, ext_ref, out_ref,
+def _g2p_kernel(tile_ref, live_ref, torg_ref, q_ref, ext_ref, out_ref,
                 *, S, g, inv_dx, dt):
     c = pl.program_id(0)
     dtype = q_ref.dtype
@@ -290,71 +294,76 @@ def _g2p_kernel(tile_ref, torg_ref, q_ref, ext_ref, out_ref,
     ty = torg_ref[c, 1].astype(dtype)
     tz = torg_ref[c, 2].astype(dtype)
 
-    wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
-    wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
-    wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
+    @pl.when(live_ref[c] != 1)
+    def _():
+        out_ref[:] = q_ref[:]
 
-    # reassemble the (48, 256) window from 8 octant blocks: row comp*16+
-    # (a*8+xl), col (b,c,yl,zl) -- a lane concat of four clean 64-wide parts
-    Wbc = []
-    for b in (0, 1):
-        for cz in (0, 1):
-            rows = []
-            for comp in range(3):
-                for a in (0, 1):
-                    o = a * 4 + b * 2 + cz
-                    rows.append(ext_ref[0, o * 24 + comp * 8:
-                                        o * 24 + comp * 8 + 8, :])
-            Wbc.append(jnp.concatenate(rows, axis=0))  # (48, 64)
-    W = jnp.concatenate(Wbc, axis=1)  # (48, 256)
+    @pl.when(live_ref[c] == 1)
+    def _():
+        wx, dwx, ux = _axis_bases_k(q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
+        wy, dwy, uy = _axis_bases_k(q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
+        wz, dwz, uz = _axis_bases_k(q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
 
-    dn = (((1,), (0,)), ((), ()))
-    t_ww = _mm3(W, _pair_bc(wy, wz), dn)    # (48, S)
-    t_uy = _mm3(W, _pair_bc(uy, wz), dn)
-    t_uz = _mm3(W, _pair_bc(wy, uz), dn)
-    t_dy = _mm3(W, _pair_bc(dwy, wz), dn)
-    t_dz = _mm3(W, _pair_bc(wy, dwz), dn)
+        # reassemble the (48, 256) window from 8 octant blocks: row comp*16+
+        # (a*8+xl), col (b,c,yl,zl) -- a lane concat of four clean 64-wide parts
+        Wbc = []
+        for b in (0, 1):
+            for cz in (0, 1):
+                rows = []
+                for comp in range(3):
+                    for a in (0, 1):
+                        o = a * 4 + b * 2 + cz
+                        rows.append(ext_ref[0, o * 24 + comp * 8:
+                                            o * 24 + comp * 8 + 8, :])
+                Wbc.append(jnp.concatenate(rows, axis=0))  # (48, 64)
+        W = jnp.concatenate(Wbc, axis=1)  # (48, 256)
 
-    def red(xb, t, r):
-        return jnp.sum(xb * t[16 * r:16 * (r + 1)], axis=0, keepdims=True)
+        dn = (((1,), (0,)), ((), ()))
+        t_ww = _mm3(W, _pair_bc(wy, wz), dn)    # (48, S)
+        t_uy = _mm3(W, _pair_bc(uy, wz), dn)
+        t_uz = _mm3(W, _pair_bc(wy, uz), dn)
+        t_dy = _mm3(W, _pair_bc(dwy, wz), dn)
+        t_dz = _mm3(W, _pair_bc(wy, dwz), dn)
 
-    coef = 4.0 * inv_dx
-    new_v = [red(wx, t_ww, r) for r in range(3)]           # (1,S) each
-    grad = [[red(dwx, t_ww, r), red(wx, t_dy, r), red(wx, t_dz, r)]
-            for r in range(3)]
-    new_C = [[coef * red(ux, t_ww, r), coef * red(wx, t_uy, r),
-              coef * red(wx, t_uz, r)] for r in range(3)]
+        def red(xb, t, r):
+            return jnp.sum(xb * t[16 * r:16 * (r + 1)], axis=0, keepdims=True)
 
-    valid = q_ref[RMASS:RMASS + 1] > 0
-    out_ref[:] = q_ref[:]
-    new_x = []
-    for a in range(3):
-        xa = q_ref[RX + a:RX + a + 1]
-        nx = jnp.where(valid, xa + dt * new_v[a], xa)
-        new_x.append(nx)
-        out_ref[RX + a:RX + a + 1] = nx
-        out_ref[RV + a:RV + a + 1] = jnp.where(valid, new_v[a], 0.0)
-    for r in range(3):
-        for cc in range(3):
-            out_ref[RC + 3 * r + cc:RC + 3 * r + cc + 1] = jnp.where(
-                valid, new_C[r][cc], 0.0
-            )
-            acc = jnp.zeros_like(new_v[0])
-            for k in range(3):
-                gk = grad[r][k] * dt + (1.0 if k == r else 0.0)
-                acc = acc + gk * q_ref[RF + 3 * k + cc:RF + 3 * k + cc + 1]
-            out_ref[RFT + 3 * r + cc:RFT + 3 * r + cc + 1] = jnp.where(
-                valid, acc, q_ref[RF + 3 * r + cc:RF + 3 * r + cc + 1]
-            )
+        coef = 4.0 * inv_dx
+        new_v = [red(wx, t_ww, r) for r in range(3)]           # (1,S) each
+        grad = [[red(dwx, t_ww, r), red(wx, t_dy, r), red(wx, t_dz, r)]
+                for r in range(3)]
+        new_C = [[coef * red(ux, t_ww, r), coef * red(wx, t_uy, r),
+                  coef * red(wx, t_uz, r)] for r in range(3)]
 
-    drift = jnp.zeros_like(new_v[0], dtype=jnp.bool_)
-    for a, ta in zip(range(3), (tx, ty, tz)):
-        gp = new_x[a] * inv_dx
-        basep = jnp.clip(jnp.floor(gp - 0.5), -1.0, g - 1.0) + PAD_LO
-        local = basep - ta
-        drift = drift | (local < SAFE_MIN) | (local > SAFE_MAX)
-    out_ref[RDRIFT:RDRIFT + 1] = (valid & drift).astype(dtype)
+        valid = q_ref[RMASS:RMASS + 1] > 0
+        out_ref[:] = q_ref[:]
+        new_x = []
+        for a in range(3):
+            xa = q_ref[RX + a:RX + a + 1]
+            nx = jnp.where(valid, xa + dt * new_v[a], xa)
+            new_x.append(nx)
+            out_ref[RX + a:RX + a + 1] = nx
+            out_ref[RV + a:RV + a + 1] = jnp.where(valid, new_v[a], 0.0)
+        for r in range(3):
+            for cc in range(3):
+                out_ref[RC + 3 * r + cc:RC + 3 * r + cc + 1] = jnp.where(
+                    valid, new_C[r][cc], 0.0
+                )
+                acc = jnp.zeros_like(new_v[0])
+                for k in range(3):
+                    gk = grad[r][k] * dt + (1.0 if k == r else 0.0)
+                    acc = acc + gk * q_ref[RF + 3 * k + cc:RF + 3 * k + cc + 1]
+                out_ref[RFT + 3 * r + cc:RFT + 3 * r + cc + 1] = jnp.where(
+                    valid, acc, q_ref[RF + 3 * r + cc:RF + 3 * r + cc + 1]
+                )
 
+        drift = jnp.zeros_like(new_v[0], dtype=jnp.bool_)
+        for a, ta in zip(range(3), (tx, ty, tz)):
+            gp = new_x[a] * inv_dx
+            basep = jnp.clip(jnp.floor(gp - 0.5), -1.0, g - 1.0) + PAD_LO
+            local = basep - ta
+            drift = drift | (local < SAFE_MIN) | (local > SAFE_MAX)
+        out_ref[RDRIFT:RDRIFT + 1] = (valid & drift).astype(dtype)
 
 def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
                      tc: TileConfig, dt) -> jnp.ndarray:
@@ -372,16 +381,16 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
         dt=float(dt),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tc.nchunk,),
         in_specs=[
-            pl.BlockSpec((QROWS, S), lambda c, t, o: (0, c),
+            pl.BlockSpec((QROWS, S), lambda c, t, lv, o: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8 * 3 * T_TILE, T_TILE * T_TILE),
-                         lambda c, t, o: (t[c], 0, 0),
+                         lambda c, t, lv, o: (t[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QROWS, S), lambda c, t, o: (0, c),
+        out_specs=pl.BlockSpec((QROWS, S), lambda c, t, lv, o: (0, c),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -389,4 +398,4 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
         out_shape=jax.ShapeDtypeStruct((QROWS, tc.np_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(ts.chunk_tile, torg, ts.q, ext)
+    )(ts.chunk_tile, ts.chunk_live, torg, ts.q, ext)

@@ -108,6 +108,7 @@ class TiledState:
     orig: jnp.ndarray         # (NP,) int32 original index, -1 = padding
     chunk_tile: jnp.ndarray   # (NCHUNK,) int32
     chunk_first: jnp.ndarray  # (NCHUNK,) int32 (1 = first chunk of its tile)
+    chunk_live: jnp.ndarray   # (NCHUNK,) int32 (1 = holds real slots)
     need_rebucket: jnp.ndarray  # () bool
     ok: jnp.ndarray           # () bool — tiled layout valid (occ <= cap)
 
@@ -234,6 +235,7 @@ def rebucket(ts: TiledState, grid: GridConfig, tc: TileConfig) -> TiledState:
     return TiledState(
         q=new_q, aux=new_aux, material=new_mat, orig=new_orig,
         chunk_tile=chunk_tile, chunk_first=chunk_first,
+        chunk_live=active.astype(jnp.int32),
         need_rebucket=jnp.asarray(False),
         ok=jnp.asarray(ok),
     )
@@ -259,6 +261,7 @@ def bootstrap(
         q=q, aux=aux, material=material, orig=orig,
         chunk_tile=jnp.zeros((tc.nchunk,), jnp.int32),
         chunk_first=jnp.zeros((tc.nchunk,), jnp.int32),
+        chunk_live=jnp.zeros((tc.nchunk,), jnp.int32),
         need_rebucket=jnp.asarray(False), ok=jnp.asarray(True),
     )
     return rebucket(ts, grid, tc)

@@ -116,3 +116,24 @@ def test_native_ply_codec_roundtrip(tmp_path):
         _native._TRIED = False
     for p in props:
         np.testing.assert_array_equal(ref[p], cols[p])
+
+
+def test_scene_pruning():
+    """drop_low_opacity / drop_empty_gaussians parity (main.py:172-173)."""
+    import numpy as np
+
+    from gsmpm_tpu.models.synthetic import synthetic_box_scene
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    scene = synthetic_box_scene(n=200)
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(200, 1)).astype(np.float32)
+    scene = dataclasses.replace(scene, opacity=jnp.asarray(logits))
+    kept = scene.drop_low_opacity(0.5)
+    assert 0 < kept.num_gaussians < 200
+    assert float(kept.get_opacity().min()) >= 0.5 - 1e-6
+    sub = scene.drop_empty_gaussians(np.arange(200) < 50)
+    assert sub.num_gaussians == 50
