@@ -244,8 +244,13 @@ def _p2g_kernel(tile_ref, first_ref, live_ref, torg_ref, q_ref, sig_ref,
 
 def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
                      dt) -> jnp.ndarray:
-    """(QROWS,NP) q + (16,NP) sig -> octant windows (ntiles, 256, 64)."""
+    """(QROWS,NP) q + (16,NP) sig -> octant windows (ntiles, 256, 64).
+
+    Chunk count comes from the arrays (not tc), so a sharded caller can
+    pass a per-device slice of the chunk tables.
+    """
     S = tc.S
+    nchunk = ts.chunk_tile.shape[0]
     nt = tc.nt
     torg = jnp.stack([
         (ts.chunk_tile // (nt * nt)) * T_TILE,
@@ -259,7 +264,7 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(tc.nchunk,),
+        grid=(nchunk,),
         in_specs=[
             pl.BlockSpec((QROWS, S), lambda c, t, f, lv, o: (0, c),
                          memory_space=pltpu.VMEM),
@@ -369,6 +374,7 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
                      tc: TileConfig, dt) -> jnp.ndarray:
     """q (QROWS,NP) + octant grid (ntiles, 192, 64) -> new q (QROWS,NP)."""
     S = tc.S
+    nchunk = ts.chunk_tile.shape[0]
     nt = tc.nt
     torg = jnp.stack([
         (ts.chunk_tile // (nt * nt)) * T_TILE,
@@ -382,7 +388,7 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(tc.nchunk,),
+        grid=(nchunk,),
         in_specs=[
             pl.BlockSpec((QROWS, S), lambda c, t, lv, o: (0, c),
                          memory_space=pltpu.VMEM),
@@ -395,7 +401,7 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((QROWS, tc.np_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((QROWS, ts.q.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(ts.chunk_tile, ts.chunk_live, torg, ts.q, ext)

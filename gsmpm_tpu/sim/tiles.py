@@ -462,8 +462,9 @@ def g2p_chunk_ref(q, ext, tid, grid: GridConfig, tc: TileConfig, dt):
 
 def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt):
     """All chunks via vmap; returns octant windows (ntiles, 256, 64)."""
-    qc = ts.q.reshape(QROWS, tc.nchunk, tc.S).transpose(1, 0, 2)
-    sc = sig.reshape(16, tc.nchunk, tc.S).transpose(1, 0, 2)
+    nchunk = ts.chunk_tile.shape[0]
+    qc = ts.q.reshape(QROWS, nchunk, tc.S).transpose(1, 0, 2)
+    sc = sig.reshape(16, nchunk, tc.S).transpose(1, 0, 2)
     cw = jax.vmap(
         lambda q, s, t: p2g_chunk_ref(q, s, t, grid, tc, dt)
     )(qc, sc, ts.chunk_tile)
@@ -473,12 +474,13 @@ def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt):
 
 
 def g2p_tiled_ref(ts: TiledState, windows: jnp.ndarray, grid, tc, dt):
-    qc = ts.q.reshape(QROWS, tc.nchunk, tc.S).transpose(1, 0, 2)
+    nchunk = ts.chunk_tile.shape[0]
+    qc = ts.q.reshape(QROWS, nchunk, tc.S).transpose(1, 0, 2)
     wc = windows[ts.chunk_tile]
     out = jax.vmap(
         lambda q, w, t: g2p_chunk_ref(q, w, t, grid, tc, dt)
     )(qc, wc, ts.chunk_tile)
-    return out.transpose(1, 0, 2).reshape(QROWS, tc.np_rows)
+    return out.transpose(1, 0, 2).reshape(QROWS, ts.q.shape[1])
 
 
 # ---------------------------------------------------------------------------
@@ -494,16 +496,23 @@ def substep_tiled(
     tc: TileConfig,
     dt: float,
     impl: str = "ref",
+    axis_name=None,
+    rebucket_on_drift: bool = True,
 ) -> TiledState:
     """One MLS-MPM substep in the tiled layout.
 
     Same op order as sim/kernels.py:substep_soa (parity
     /root/reference/mpm_solver/solver.py:27-52): particle BCs -> stress ->
     P2G -> grid update/BCs -> G2P.
+
+    axis_name: chunk-sharded multi-device mode (parallel/tiled_sharded.py)
+    -- the folded grid is psum-reduced across the mesh axis; rebucketing is
+    the sharded caller's responsibility (rebucket_on_drift=False).
     """
-    ts = jax.lax.cond(
-        ts.need_rebucket, lambda s: rebucket(s, grid, tc), lambda s: s, ts
-    )
+    if rebucket_on_drift:
+        ts = jax.lax.cond(
+            ts.need_rebucket, lambda s: rebucket(s, grid, tc), lambda s: s, ts
+        )
 
     q = ts.q
     # particle-phase BCs (impulse) on the packed rows
@@ -525,7 +534,7 @@ def substep_tiled(
         q = q.at[RF + i].set(new_F[i])
     q = q.at[RYIELD].set(new_yield)
     sig = jnp.concatenate([
-        jnp.stack(stress), jnp.zeros((16 - 9, tc.np_rows), q.dtype)
+        jnp.stack(stress), jnp.zeros((16 - 9, q.shape[1]), q.dtype)
     ])
     ts = dataclasses.replace(ts, q=q)
 
@@ -537,6 +546,8 @@ def substep_tiled(
     else:
         windows = p2g_tiled_ref(ts, sig, grid, tc, dt)
     acc = fold_windows(windows, tc)
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
     grid_v = grid_update_soa(
         acc[:, :, :, 0:T_TILE],
         (acc[:, :, :, T_TILE:2 * T_TILE],
