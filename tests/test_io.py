@@ -137,3 +137,18 @@ def test_scene_pruning():
     assert float(kept.get_opacity().min()) >= 0.5 - 1e-6
     sub = scene.drop_empty_gaussians(np.arange(200) < 50)
     assert sub.num_gaussians == 50
+
+
+def test_mean_knn_dist():
+    """Blocked 3-NN mean squared distance vs brute force (simple-knn parity)."""
+    import numpy as np
+
+    from gsmpm_tpu.models.knn import mean_knn_dist
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    got = np.asarray(mean_knn_dist(pts, k=3, block=128))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    ref = np.sort(d2, axis=1)[:, :3].mean(axis=1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
