@@ -10,21 +10,25 @@ around the MXU:
   rank-6 bilinear product F(g) . H(p) with F = per-candidate coefficients
   in BLOCK-LOCAL coordinates (keeps term magnitudes O(10^3), no f32
   cancellation) and H = per-pixel monomials [px^2 px 1 py^2 py px*py]; one
-  (C,16)@(16,P) matmul evaluates a whole chunk of candidates against all
-  P = B*B pixels of the block;
+  (C,16)x(16,P) contraction evaluates a whole chunk of candidates against
+  all P = B*B pixels of the block;
 - opacity enters log-space as a second rank-1 matmul (alpha =
   exp(power + log opa)) so padded/invalid candidates (opa=0 -> -inf)
   blend to exactly zero;
 - the front-to-back transmittance scan runs as log2(C) shifted multiplies
   on the VPU; per-pixel color accumulation is a third matmul
-  (chunk^T @ w) whose rows 8..10 are the rgb sums;
-- per-(block,chunk) grid; the output block (rgb, T, done rows) persists in
-  VMEM across a block's chunk steps, and @pl.when skips chunks past the
-  candidate count or once every pixel is frozen (T < t_min).
+  (F @ w) whose rows 8..10 are the rgb sums;
+- grid = (nblocks,) with candidates in a lane-major (16, K) block; a
+  lax.while_loop inside the kernel walks chunks of C candidates and stops
+  at ceil(count/C) chunks or as soon as every pixel is frozen
+  (T < t_min), so per-block cost tracks the real candidate count instead
+  of the K cap.  (The first version ran a (nblocks, K/C) grid; at 169x16
+  steps the per-step grid/DMA overhead dominated the actual blend work.)
 
-Blend math mirrors _blend_candidates exactly (chunk-granular freeze
-semantics included) so the Pallas and XLA paths agree to f32 tolerance;
-tests/test_pallas_render.py asserts it.
+Blend math mirrors _blend_candidates exactly (the evolution of (rgb, T,
+done) is chunk-size invariant because T_after decreases monotonically
+within a chunk -- see tests) so the Pallas and XLA paths agree to f32
+tolerance; tests/test_pallas_render.py asserts it.
 """
 
 from __future__ import annotations
@@ -45,13 +49,14 @@ def _use_interpret() -> bool:
 
 
 def _build_F(cand_raw, x0, y0):
-    """(..., 16) raw candidates -> (..., 16) rank-6 F coefficients.
+    """(nblocks, K, 16) raw candidates -> (nblocks, 16, K) rank-6 F rows.
 
     Raw columns: gx, gy, conic_a, conic_b, conic_c, log_opa, r, g, b.
-    F columns (paired with H rows): [px^2, px, 1, py^2, py, px*py] for the
-    quadratic, col 6 = log opacity (H row 6 = 1 in the opacity matmul),
-    cols 8..10 = color passthrough. x0/y0: block origins; gx/gy go
-    block-local here.
+    F rows (paired with H rows): [px^2, px, 1, py^2, py, px*py] for the
+    quadratic, row 6 = log opacity (H row 6 = 1 in the opacity matmul),
+    rows 8..10 = color passthrough. x0/y0: block origins; gx/gy go
+    block-local here.  Lane-major (16, K) so the kernel's chunk walk is a
+    lane slice.
     """
     gx = cand_raw[..., CGX] - x0
     gy = cand_raw[..., CGY] - y0
@@ -59,7 +64,7 @@ def _build_F(cand_raw, x0, y0):
     b = cand_raw[..., CB]
     c = cand_raw[..., CC]
     zeros = jnp.zeros_like(gx)
-    cols = [
+    rows = [
         -0.5 * a,
         a * gx + b * gy,
         -0.5 * (a * gx * gx + c * gy * gy) - b * gx * gy,
@@ -73,56 +78,72 @@ def _build_F(cand_raw, x0, y0):
         cand_raw[..., CB_],
         zeros, zeros, zeros, zeros, zeros,
     ]
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(rows, axis=-2)
 
 
-def _blend_kernel(counts_ref, cand_ref, out_ref, h_ref, *,
+def _tree_prod(x):
+    """prod over axis 0 of (C, P) via log-depth pairwise multiplies."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        x = x[:half] * x[half:half * 2] if n % 2 == 0 else jnp.concatenate(
+            [x[:half] * x[half:half * 2], x[half * 2:]], axis=0
+        )
+        n = x.shape[0]
+    return x
+
+
+def _blend_kernel(counts_ref, cand_ref, out_ref, *,
                   C, B, P, t_min, alpha_min, n_chunks):
     b = pl.program_id(0)
-    k = pl.program_id(1)
+    count = counts_ref[b]
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
 
-    @pl.when(k == 0)
-    def _():
-        # per-pixel monomials H (16, P): pixel p = py*B + px (block-local)
-        pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        px = (pix % B).astype(jnp.float32)
-        py = (pix // B).astype(jnp.float32)
-        one = jnp.ones_like(px)
-        zero = jnp.zeros_like(px)
-        h_ref[:, :] = jnp.concatenate(
-            [px * px, px, one, py * py, py, px * py]
-            + [zero] * 10, axis=0,
-        )
-        out_ref[0] = jnp.concatenate(
-            [jnp.zeros((3, P), jnp.float32),      # rgb
-             jnp.ones((1, P), jnp.float32),       # T
-             jnp.zeros((4, P), jnp.float32)],     # done + pad
-            axis=0,
-        )
-
-    T = out_ref[0, 3:4, :]
-    done = out_ref[0, 4:5, :] > 0
-    live = (k * C < counts_ref[b]) & jnp.any(
-        jnp.logical_not(done) & (T >= t_min)
+    # per-pixel monomials H (16, P): pixel p = py*B + px (block-local)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pix % B).astype(jnp.float32)
+    py = (pix // B).astype(jnp.float32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    H = jnp.concatenate(
+        [px * px, px, one, py * py, py, px * py] + [zero] * 10, axis=0
+    )
+    # opacity selector: row 6 broadcast
+    Ho = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (16, P), 0) == 6, 1.0, 0.0
     )
 
-    @pl.when(live)
-    def _():
-        chunk = cand_ref[0]  # (C, 16)
-        mm = functools.partial(
-            jax.lax.dot_general,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        dnq = (((1,), (0,)), ((), ()))
-        H = h_ref[:, :]
-        power_q = mm(chunk, H, dimension_numbers=dnq)  # (C, P)
-        # log-opacity broadcast via rank-1 matmul (col 6 x row of ones)
-        lgo_sel = jax.lax.broadcasted_iota(jnp.int32, (16, P), 0) == 6
-        Ho = jnp.where(lgo_sel, 1.0, 0.0)
-        lgo = mm(chunk, Ho, dimension_numbers=dnq)
+    mm = functools.partial(
+        jax.lax.dot_general,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dn0 = (((0,), (0,)), ((), ()))  # contract row dim (16)
+
+    # blend state lives in the output VMEM block across loop steps:
+    # rows 0..2 rgb, row 3 T, row 4 done (as f32); only the chunk counter
+    # is loop-carried (Mosaic rejects large vector carries in while_loop)
+    out_ref[0] = jnp.concatenate(
+        [jnp.zeros((3, P), jnp.float32),
+         jnp.ones((1, P), jnp.float32),
+         jnp.zeros((4, P), jnp.float32)], axis=0
+    )
+
+    def cond(c):
+        T = out_ref[0, 3:4, :]
+        done = out_ref[0, 4:5, :] > 0
+        return (c < n_live) & jnp.any(jnp.logical_not(done) & (T >= t_min))
+
+    def body(c):
+        T = out_ref[0, 3:4, :]
+        done = out_ref[0, 4:5, :] > 0
+        F = cand_ref[0, :, pl.ds(c * C, C)]  # (16, C)
+        power_q = mm(F, H, dimension_numbers=dn0)  # (C, P)
+        lgo = mm(F, Ho, dimension_numbers=dn0)     # (C, P) logo broadcast
         alpha = jnp.minimum(0.99, jnp.exp(power_q + lgo))
-        alpha = jnp.where((power_q <= 0.0) & (alpha >= alpha_min), alpha, 0.0)
+        alpha = jnp.where(
+            (power_q <= 0.0) & (alpha >= alpha_min), alpha, 0.0
+        )
 
         one_minus = 1.0 - alpha  # (C, P)
         cp = one_minus
@@ -140,18 +161,17 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, h_ref, *,
         contrib = jnp.logical_not(done) & (T_after >= t_min)
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
-        dnw = (((0,), (0,)), ((), ()))
-        sums = mm(chunk, w, dimension_numbers=dnw)  # (16, P); rows 8..10 rgb
+        dn1 = (((1,), (0,)), ((), ()))  # contract candidate dim (C)
+        sums = mm(F, w, dimension_numbers=dn1)  # (16, P); rows 8..10 rgb
         out_ref[0, 0:3, :] += sums[8:11]
 
         alpha_eff = jnp.where(contrib, alpha, 0.0)
-        om_eff = 1.0 - alpha_eff
-        prod = om_eff[0:1]
-        for i in range(1, C):  # C is small and static; plain tree would be
-            prod = prod * om_eff[i:i + 1]  # log-depth but this fuses fine
-        out_ref[0, 3:4, :] = T * prod
+        out_ref[0, 3:4, :] = T * _tree_prod(1.0 - alpha_eff)
         new_done = done | jnp.any(T_after < t_min, axis=0, keepdims=True)
         out_ref[0, 4:5, :] = new_done.astype(jnp.float32)
+        return c + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
@@ -163,6 +183,11 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
     B = cfg.block
     P = B * B
     C = cfg.chunk
+    if not _use_interpret():
+        # Mosaic requires the chunk walk's lane offsets to be provably
+        # multiples of 128; blend state evolution is chunk-size invariant
+        # (see module docstring) so rounding up is semantics-preserving.
+        C = -(-C // 128) * 128
     n_chunks = -(-K // C)
     if n_chunks * C != K:
         cand_raw = jnp.pad(
@@ -180,14 +205,13 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblocks, n_chunks),
+        grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, C, 16), lambda b, k, cnt: (b, k, 0),
+            pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda b, k, cnt: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, P), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,

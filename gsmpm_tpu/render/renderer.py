@@ -79,18 +79,24 @@ class Preprocessed(NamedTuple):
 
 
 def _eval_sh_planes(shs, dx, dy, dz, sh_degree: int):
-    """SH->RGB on planes; mirrors render/sh.py:eval_sh term-for-term."""
+    """SH->RGB on planes; mirrors render/sh.py:eval_sh term-for-term.
+
+    One explicit transpose to (K, 3, N) planes first: slicing the (N, K, 3)
+    layout per (term, channel) makes every 4-byte strided slice touch the
+    whole 16*3*4-byte row in HBM (~2 GB of traffic for 48 slices at 245k
+    gaussians); after the transpose each term is one contiguous row.
+    """
+    shp = jnp.transpose(shs, (1, 2, 0))  # (K, 3, N)
     d = jnp.stack([dx, dy, dz], axis=-1)
+    basis_terms = []  # (N,) per term, bands 1..deg
+    for l in range(1, sh_degree + 1):
+        basis = _band_basis(d, l, jnp)  # (N, 2l+1)
+        basis_terms.extend(basis[:, t] for t in range(2 * l + 1))
     cols = []
     for c in range(3):
-        acc = C0 * shs[:, 0, c]
-        offset = 1
-        for l in range(1, sh_degree + 1):
-            basis = _band_basis(d, l, jnp)  # (N, 2l+1)
-            m = 2 * l + 1
-            for t in range(m):
-                acc = acc + basis[:, t] * shs[:, offset + t, c]
-            offset += m
+        acc = C0 * shp[0, c]
+        for t, bt in enumerate(basis_terms):
+            acc = acc + bt * shp[1 + t, c]
         cols.append(acc)
     return cols
 

@@ -4,7 +4,11 @@ Times stress / p2g / grid_update / g2p / full substep separately so kernel
 work (Pallas) can target the real bottleneck. Not part of the test suite.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
