@@ -41,28 +41,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # candidate column layout (16 columns, f32)
-CGX, CGY, CA, CB, CC, CLOGO, CR, CG, CB_, _NCOLS = 0, 1, 2, 3, 4, 5, 6, 7, 8, 16
+(CGX, CGY, CA, CB, CC, CLOGO, CR, CG, CB_, CRAD,
+ _NCOLS) = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 16
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _build_F(cand_raw, x0, y0):
+def _build_F(cand_raw, x0, y0, B):
     """(nblocks, K, 16) raw candidates -> (nblocks, 16, K) rank-6 F rows.
 
-    Raw columns: gx, gy, conic_a, conic_b, conic_c, log_opa, r, g, b.
-    F rows (paired with H rows): [px^2, px, 1, py^2, py, px*py] for the
-    quadratic, row 6 = log opacity (H row 6 = 1 in the opacity matmul),
-    rows 8..10 = color passthrough. x0/y0: block origins; gx/gy go
-    block-local here.  Lane-major (16, K) so the kernel's chunk walk is a
-    lane slice.
+    Raw columns: gx, gy, conic_a, conic_b, conic_c, log_opa, r, g, b,
+    radius.  F rows (paired with H rows): [px^2, px, 1, py^2, py, px*py]
+    for the quadratic, row 6 = log opacity (H row 6 = 1 in the opacity
+    matmul), rows 8..10 = color passthrough. x0/y0: block origins; gx/gy
+    go block-local here.  Lane-major (16, K) so the kernel's chunk walk is
+    a lane slice.
+
+    The block-rect test (same inequality as renderer._select_candidates)
+    runs here against col 9's radius: candidates whose screen rect misses
+    this block get log_opa = -inf and blend to exactly zero.  This is what
+    lets the dup-sort selection hand superset candidate lists (coarse-tile
+    and global streams) to the kernel without changing the image.
     """
     gx = cand_raw[..., CGX] - x0
     gy = cand_raw[..., CGY] - y0
     a = cand_raw[..., CA]
     b = cand_raw[..., CB]
     c = cand_raw[..., CC]
+    r = cand_raw[..., CRAD]
+    in_rect = (
+        (gx + r >= -0.5) & (gx - r <= B - 0.5)
+        & (gy + r >= -0.5) & (gy - r <= B - 0.5)
+    )
+    logo = jnp.where(in_rect, cand_raw[..., CLOGO], -1e30)
     zeros = jnp.zeros_like(gx)
     rows = [
         -0.5 * a,
@@ -71,7 +84,7 @@ def _build_F(cand_raw, x0, y0):
         -0.5 * c,
         c * gy + b * gx,
         -b,
-        cand_raw[..., CLOGO],
+        logo,
         zeros,
         cand_raw[..., CR],
         cand_raw[..., CG],
@@ -196,7 +209,7 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
         )
     F = _build_F(
         cand_raw, origins[:, 0:1].astype(jnp.float32),
-        origins[:, 1:2].astype(jnp.float32),
+        origins[:, 1:2].astype(jnp.float32), B,
     )
 
     kernel = functools.partial(

@@ -1,0 +1,131 @@
+"""Dup-sort candidate selection vs the top_k reference selection.
+
+The dup-sort binning (renderer._select_candidates_dupsort) may hand the
+blend kernel supersets of the truly-intersecting candidates (coarse-tile and
+global streams); _build_F's rect mask must cancel the extras exactly, so the
+rendered image matches the XLA path.  These tests pin:
+- the tile-interval arithmetic against the brute-force inequality,
+- per-block candidate sequences (after rect filtering) against the top_k
+  selection,
+- full images (including huge gaussians that land in the coarse/global
+  levels) against the XLA reference path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsmpm_tpu.render.camera import make_camera
+from gsmpm_tpu.render.renderer import (
+    RasterConfig,
+    _select_candidates,
+    _select_candidates_dupsort,
+    _tile_interval,
+    block_origins,
+    dupsort_applicable,
+    preprocess,
+    render,
+)
+
+
+def test_tile_interval_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    B, nb = 64, 13
+    p = rng.uniform(-200.0, 1000.0, size=(4096,)).astype(np.float32)
+    r = rng.uniform(0.0, 400.0, size=(4096,)).astype(np.float32)
+    t0, t1, off = jax.jit(
+        lambda p, r: _tile_interval(p, r, B, nb)
+    )(jnp.asarray(p), jnp.asarray(r))
+    t0, t1, off = np.asarray(t0), np.asarray(t1), np.asarray(off)
+    ts = np.arange(nb, dtype=np.float32) * B
+    inter = (ts[None, :] - 0.5 <= (p + r)[:, None]) & (
+        (p - r)[:, None] <= ts[None, :] + B - 0.5
+    )  # (n, nb) brute force
+    any_inter = inter.any(axis=1)
+    np.testing.assert_array_equal(off, ~any_inter)
+    hit = np.where(any_inter)[0]
+    first = inter[hit].argmax(axis=1)
+    last = nb - 1 - inter[hit][:, ::-1].argmax(axis=1)
+    np.testing.assert_array_equal(t0[hit], first)
+    np.testing.assert_array_equal(t1[hit], last)
+
+
+def _scene(n=800, seed=0, big=0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    means[:, 2] += 4.0
+    A = 0.05 * rng.normal(size=(n, 3, 3)).astype(np.float32)
+    cov = A @ A.transpose(0, 2, 1) + 1e-4 * np.eye(3, dtype=np.float32)
+    if big:
+        # a few huge gaussians -> coarse/global selection levels
+        s = rng.uniform(0.5, 2.0, size=(big, 1, 1)).astype(np.float32)
+        cov[:big] = cov[:big] * 0 + (s ** 2) * np.eye(3, dtype=np.float32)
+    cov6 = np.stack(
+        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+         cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]], axis=-1,
+    )
+    opacity = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    camera = make_camera(192, 192, 0.9, 0.9, np.eye(3), np.zeros(3))
+    return (jnp.asarray(means), jnp.asarray(cov6), jnp.asarray(opacity),
+            jnp.asarray(colors), camera)
+
+
+def _rect_hits(pre, idx, x0, y0, B):
+    """Brute-force block-rect test for raw candidate indices (sentinel n
+    never hits)."""
+    n = pre.pix_x.shape[0]
+    px = np.append(np.asarray(pre.pix_x), 0.0)[idx]
+    py = np.append(np.asarray(pre.pix_y), 0.0)[idx]
+    r = np.append(np.asarray(pre.radius), 0.0)[idx]
+    v = np.append(np.asarray(pre.valid), False)[idx]
+    return (
+        v & (idx < n)
+        & (px + r >= x0 - 0.5) & (px - r <= x0 + B - 0.5)
+        & (py + r >= y0 - 0.5) & (py - r <= y0 + B - 0.5)
+    )
+
+
+def test_dupsort_selection_matches_topk():
+    means, cov6, opacity, colors, camera = _scene(n=800, seed=2, big=6)
+    cfg = RasterConfig(block=64, k_block=800, k_row=800,
+                       k_tile=800, k_coarse=800, k_global=800)
+    assert dupsort_applicable(800, camera, cfg)
+    pre = preprocess(means, cov6, opacity, None, camera, 0, cfg,
+                     colors_precomp=colors)
+    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
+
+    g_top, c_top, org = jax.jit(
+        lambda p, o: _select_candidates(p, o, camera, cfg)
+    )(pre, order)
+    g_dup, c_dup, org2 = jax.jit(
+        lambda p, o: _select_candidates_dupsort(p, o, camera, cfg)
+    )(pre, order)
+    g_top, g_dup = np.asarray(g_top), np.asarray(g_dup)
+    org = np.asarray(org)
+    np.testing.assert_array_equal(org, np.asarray(org2))
+
+    B = cfg.block
+    for b in range(g_top.shape[0]):
+        x0, y0 = org[b]
+        ht = _rect_hits(pre, g_top[b], x0, y0, B)
+        hd = _rect_hits(pre, g_dup[b], x0, y0, B)
+        # same truly-intersecting candidates in the same depth order
+        np.testing.assert_array_equal(g_top[b][ht], g_dup[b][hd])
+        # counts bound the real candidates
+        assert int(np.asarray(c_dup)[b]) >= hd.sum()
+
+
+def test_pallas_dup_image_matches_xla():
+    means, cov6, opacity, colors, camera = _scene(n=800, seed=5, big=8)
+    bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+    base = dict(block=64, k_block=1024, k_row=2048, chunk=32)
+    img_x = render(means, cov6, opacity, None, camera, bg,
+                   cfg=RasterConfig(**base, impl="xla"),
+                   colors_precomp=colors)
+    img_p = render(means, cov6, opacity, None, camera, bg,
+                   cfg=RasterConfig(**base, impl="pallas", sel="dup"),
+                   colors_precomp=colors)
+    a, b = np.asarray(img_p), np.asarray(img_x)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
+    assert np.mean(np.abs(a - b)) < 5e-6
