@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from gsmpm_tpu.config import SimConfig
 from gsmpm_tpu.io.cameras import load_cameras
-from gsmpm_tpu.io.video import encode_mp4, save_frame
+from gsmpm_tpu.io.video import encode_video, save_frame
 from gsmpm_tpu.models.gaussians import GaussianScene, load_gaussians
 from gsmpm_tpu.models.synthetic import synthetic_box_scene
 from gsmpm_tpu.render.camera import Camera, make_camera, orbit_camera
@@ -258,9 +258,9 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         if not quiet:
             print(f"frame {fid}/{num_frames}  {time.time()-t0:.2f}s", flush=True)
 
-    if encode_mp4(images_dir, os.path.join(out_dir, "simulated.mp4")):
-        if not quiet:
-            print(f"wrote {out_dir}/simulated.mp4")
+    video_path = encode_video(images_dir, os.path.join(out_dir, "simulated"))
+    if video_path and not quiet:
+        print(f"wrote {video_path}")
     if not quiet:
         print(f"Done in {time.time()-t_start:.1f}s.")
     return frames_np

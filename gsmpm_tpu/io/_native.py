@@ -33,10 +33,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("GSMPM_NO_NATIVE"):
         return None
     try:
-        if not os.path.exists(_SO) and os.path.exists(_BUILD):
-            subprocess.run(
-                ["sh", _BUILD], check=True, capture_output=True, timeout=120
+        if os.path.exists(_BUILD):
+            csrc = os.path.join(os.path.dirname(_BUILD), "..", "csrc")
+            srcs = [
+                os.path.join(csrc, f)
+                for f in os.listdir(csrc) if f.endswith(".cpp")
+            ] if os.path.isdir(csrc) else []
+            stale = os.path.exists(_SO) and srcs and (
+                os.path.getmtime(_SO) < max(map(os.path.getmtime, srcs))
             )
+            if not os.path.exists(_SO) or stale:
+                subprocess.run(
+                    ["sh", _BUILD], check=True, capture_output=True,
+                    timeout=120,
+                )
         lib = ctypes.CDLL(_SO)
         lib.gsn_ply_header.argtypes = [
             ctypes.c_char_p,
@@ -66,6 +76,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.gsn_ply_write_f32_planar.restype = ctypes.c_int
+        lib.gsn_avi_begin.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.gsn_avi_begin.restype = ctypes.c_void_p
+        lib.gsn_avi_add_frame.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ]
+        lib.gsn_avi_add_frame.restype = ctypes.c_int
+        lib.gsn_avi_end.argtypes = [ctypes.c_void_p]
+        lib.gsn_avi_end.restype = ctypes.c_int
         _LIB = lib
     except Exception:
         _LIB = None
@@ -120,3 +140,52 @@ def write_ply_f32_planar(
         planar.shape[1], planar.shape[0], _n_threads(),
     )
     return rc == 0
+
+
+class AviWriter:
+    """Streaming MJPEG-in-AVI writer over the native encoder.
+
+    Use as a context manager; add_frame takes (h, w, 3) uint8 RGB.  Raises
+    RuntimeError if the native tier is unavailable (callers check
+    avi_available() first).
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: int = 25,
+                 quality: int = 90):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native video tier unavailable")
+        self._lib = lib
+        self._ctx = lib.gsn_avi_begin(path.encode(), width, height, fps)
+        if not self._ctx:
+            raise RuntimeError(f"gsn_avi_begin failed for {path}")
+        self._w, self._h = width, height
+        self._q = quality
+
+    def add_frame(self, rgb: np.ndarray) -> None:
+        rgb = np.ascontiguousarray(rgb, np.uint8)
+        if rgb.shape != (self._h, self._w, 3):
+            raise ValueError(f"frame shape {rgb.shape} != "
+                             f"({self._h}, {self._w}, 3)")
+        rc = self._lib.gsn_avi_add_frame(
+            self._ctx, rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            self._q,
+        )
+        if rc != 0:
+            raise RuntimeError("gsn_avi_add_frame failed")
+
+    def close(self) -> None:
+        if self._ctx:
+            self._lib.gsn_avi_end(self._ctx)
+            self._ctx = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def avi_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "gsn_avi_begin")

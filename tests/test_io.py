@@ -152,3 +152,60 @@ def test_mean_knn_dist():
     np.fill_diagonal(d2, np.inf)
     ref = np.sort(d2, axis=1)[:, :3].mean(axis=1)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_native_mjpeg_avi(tmp_path):
+    """Native MJPEG-AVI encoder: container structure + per-frame JPEG decode.
+
+    Pulls the '00dc' chunks back out of the RIFF and decodes them with PIL;
+    4:2:0 quality-90 JPEG should reproduce a smooth gradient within ~6 gray
+    levels.
+    """
+    import struct
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from gsmpm_tpu.io import _native
+    from gsmpm_tpu.io.video import encode_avi, save_frame
+
+    if not _native.avi_available():
+        pytest.skip("native tier unavailable")
+
+    h, w, n_frames = 96, 120, 4
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = []
+    img_dir = tmp_path / "images"
+    for t in range(n_frames):
+        img = np.stack(
+            [xx / w, yy / h, np.full_like(xx, t / max(n_frames - 1, 1))],
+            axis=-1,
+        )
+        frames.append((255 * img).astype(np.uint8))
+        save_frame(img, str(img_dir), t)
+
+    out = tmp_path / "vid.avi"
+    assert encode_avi(str(img_dir), str(out), fps=10)
+    blob = out.read_bytes()
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    assert struct.unpack("<I", blob[4:8])[0] == len(blob) - 8
+    assert b"MJPG" in blob[:300] and b"idx1" in blob
+
+    # walk the movi chunks and decode each JPEG
+    movi = blob.index(b"movi")
+    pos = movi + 4
+    decoded = 0
+    while blob[pos:pos + 4] == b"00dc":
+        size = struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        jpg = blob[pos + 8:pos + 8 + size]
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        import io as _io
+
+        arr = np.asarray(Image.open(_io.BytesIO(jpg)).convert("RGB"),
+                         np.float32)
+        ref = frames[decoded].astype(np.float32)
+        assert arr.shape == ref.shape
+        assert np.mean(np.abs(arr - ref)) < 6.0
+        decoded += 1
+        pos += 8 + size + (size & 1)
+    assert decoded == n_frames
