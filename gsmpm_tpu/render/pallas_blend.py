@@ -50,32 +50,32 @@ def _use_interpret() -> bool:
 
 
 def _build_F(cand_raw, x0, y0, B):
-    """(nblocks, K, 16) raw candidates -> (nblocks, 16, K) rank-6 F rows.
+    """(10, nblocks, K) raw candidate planes -> (nblocks, 16, K) F rows.
 
-    Raw columns: gx, gy, conic_a, conic_b, conic_c, log_opa, r, g, b,
-    radius.  F rows (paired with H rows): [px^2, px, 1, py^2, py, px*py]
-    for the quadratic, row 6 = log opacity (H row 6 = 1 in the opacity
-    matmul), rows 8..10 = color passthrough. x0/y0: block origins; gx/gy
-    go block-local here.  Lane-major (16, K) so the kernel's chunk walk is
-    a lane slice.
+    Raw plane rows: gx, gy, conic_a, conic_b, conic_c, log_opa, r, g, b,
+    radius (renderer._raw_planes layout).  F rows (paired with H rows):
+    [px^2, px, 1, py^2, py, px*py] for the quadratic, row 6 = log opacity
+    (H row 6 = 1, folding opacity into the quadratic matmul), rows 8..10 =
+    color passthrough. x0/y0: block origins; gx/gy go block-local here.
+    Lane-major (16, K) so the kernel's chunk walk is a lane slice.
 
     The block-rect test (same inequality as renderer._select_candidates)
-    runs here against col 9's radius: candidates whose screen rect misses
+    runs here against row 9's radius: candidates whose screen rect misses
     this block get log_opa = -inf and blend to exactly zero.  This is what
     lets the dup-sort selection hand superset candidate lists (coarse-tile
     and global streams) to the kernel without changing the image.
     """
-    gx = cand_raw[..., CGX] - x0
-    gy = cand_raw[..., CGY] - y0
-    a = cand_raw[..., CA]
-    b = cand_raw[..., CB]
-    c = cand_raw[..., CC]
-    r = cand_raw[..., CRAD]
+    gx = cand_raw[CGX] - x0
+    gy = cand_raw[CGY] - y0
+    a = cand_raw[CA]
+    b = cand_raw[CB]
+    c = cand_raw[CC]
+    r = cand_raw[CRAD]
     in_rect = (
         (gx + r >= -0.5) & (gx - r <= B - 0.5)
         & (gy + r >= -0.5) & (gy - r <= B - 0.5)
     )
-    logo = jnp.where(in_rect, cand_raw[..., CLOGO], -1e30)
+    logo = jnp.where(in_rect, cand_raw[CLOGO], -1e30)
     zeros = jnp.zeros_like(gx)
     rows = [
         -0.5 * a,
@@ -86,9 +86,9 @@ def _build_F(cand_raw, x0, y0, B):
         -b,
         logo,
         zeros,
-        cand_raw[..., CR],
-        cand_raw[..., CG],
-        cand_raw[..., CB_],
+        cand_raw[CR],
+        cand_raw[CG],
+        cand_raw[CB_],
         zeros, zeros, zeros, zeros, zeros,
     ]
     return jnp.stack(rows, axis=-2)
@@ -112,18 +112,16 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, *,
     count = counts_ref[b]
     n_live = jnp.minimum((count + C - 1) // C, n_chunks)
 
-    # per-pixel monomials H (16, P): pixel p = py*B + px (block-local)
+    # per-pixel monomials H (16, P): pixel p = py*B + px (block-local).
+    # Row 6 is 1 so the single matmul F.H yields quad + log_opa directly
+    # (F rows 8..10 are colors; their H rows stay 0).
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pix % B).astype(jnp.float32)
     py = (pix // B).astype(jnp.float32)
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     H = jnp.concatenate(
-        [px * px, px, one, py * py, py, px * py] + [zero] * 10, axis=0
-    )
-    # opacity selector: row 6 broadcast
-    Ho = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (16, P), 0) == 6, 1.0, 0.0
+        [px * px, px, one, py * py, py, px * py, one] + [zero] * 9, axis=0
     )
 
     mm = functools.partial(
@@ -151,11 +149,13 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, *,
         T = out_ref[0, 3:4, :]
         done = out_ref[0, 4:5, :] > 0
         F = cand_ref[0, :, pl.ds(c * C, C)]  # (16, C)
-        power_q = mm(F, H, dimension_numbers=dn0)  # (C, P)
-        lgo = mm(F, Ho, dimension_numbers=dn0)     # (C, P) logo broadcast
-        alpha = jnp.minimum(0.99, jnp.exp(power_q + lgo))
+        power = mm(F, H, dimension_numbers=dn0)  # (C, P) = quad + log_opa
+        lgo = F[6:7, :].reshape(C, 1)  # per-candidate log opacity
+        alpha = jnp.minimum(0.99, jnp.exp(power))
+        # CUDA-parity gate: discard positive quadratic power (quad =
+        # power - log_opa) and sub-threshold alphas
         alpha = jnp.where(
-            (power_q <= 0.0) & (alpha >= alpha_min), alpha, 0.0
+            (power <= lgo) & (alpha >= alpha_min), alpha, 0.0
         )
 
         one_minus = 1.0 - alpha  # (C, P)
@@ -175,8 +175,8 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, *,
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
         dn1 = (((1,), (0,)), ((), ()))  # contract candidate dim (C)
-        sums = mm(F, w, dimension_numbers=dn1)  # (16, P); rows 8..10 rgb
-        out_ref[0, 0:3, :] += sums[8:11]
+        sums = mm(F[8:11, :], w, dimension_numbers=dn1)  # (3, P) rgb
+        out_ref[0, 0:3, :] += sums
 
         alpha_eff = jnp.where(contrib, alpha, 0.0)
         out_ref[0, 3:4, :] = T * _tree_prod(1.0 - alpha_eff)
@@ -188,11 +188,11 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, *,
 
 
 def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
-    """cand_raw (nblocks, K, 16) raw candidate rows (depth-ordered, padded
+    """cand_raw (10, nblocks, K) raw candidate planes (depth-ordered, padded
     with log_opa=-inf), counts (nblocks,), origins (nblocks, 2) -> blended
     blocks (nblocks, B, B, 3) with background composited.
     """
-    nblocks, K, _ = cand_raw.shape
+    _, nblocks, K = cand_raw.shape
     B = cfg.block
     P = B * B
     C = cfg.chunk
@@ -203,10 +203,14 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
         C = -(-C // 128) * 128
     n_chunks = -(-K // C)
     if n_chunks * C != K:
+        # pad columns must carry log_opa = -inf: the last count-bounded
+        # chunk can straddle K, and a zero log_opa would blend as an
+        # opaque splat at the block origin
         cand_raw = jnp.pad(
-            cand_raw, ((0, 0), (0, n_chunks * C - K), (0, 0)),
+            cand_raw, ((0, 0), (0, 0), (0, n_chunks * C - K)),
             constant_values=0.0,
         )
+        cand_raw = cand_raw.at[CLOGO, :, K:].set(-1e30)
     F = _build_F(
         cand_raw, origins[:, 0:1].astype(jnp.float32),
         origins[:, 1:2].astype(jnp.float32), B,

@@ -410,7 +410,7 @@ def _select_candidates(pre: Preprocessed, order: jnp.ndarray,
 
     Returns (cand_raw (nblocks, k_blk, 16), counts (nblocks,),
     origins (nblocks, 2)) for the Pallas blend; candidate columns follow
-    pallas_blend's raw layout [gx, gy, a, b, c, log_opa, r, g, b, pad...].
+    pallas_blend's raw layout [gx, gy, a, b, c, log_opa, r, g, b, radius].
     Invalid/padded candidates point at a sentinel row with log_opa = -1e30
     so they blend to exactly zero.
     """
@@ -598,22 +598,28 @@ def _select_candidates_dupsort(pre: Preprocessed, order: jnp.ndarray,
     return gidx, counts, origins.astype(jnp.int32)
 
 
-def _raw_planes16(pre: Preprocessed) -> jnp.ndarray:
-    """(N+1, 16) packed raw candidate rows + the -inf sentinel row."""
-    n = pre.pix_x.shape[0]
+def _raw_planes(pre: Preprocessed) -> jnp.ndarray:
+    """(10, N+1) raw candidate planes + the -inf sentinel column.
+
+    Column-major (planes) layout on purpose: the candidate gather then runs
+    along the 128-lane axis (planes[:, gidx], ~0.05 ms for 184k candidates
+    at 245k gaussians) whereas building row-major (N, 10) rows costs a
+    lane->sublane relayout of the whole array (~7 ms measured). Row order:
+    [pix_x, pix_y, conic_a, conic_b, conic_c, log_opa, r, g, b, radius];
+    pallas_blend._build_F consumes this layout directly.
+    """
     logo = jnp.where(
         pre.valid & (pre.opacity > 0),
         jnp.log(jnp.maximum(pre.opacity, 1e-38)),
         -1e30,
     )
-    zeros = jnp.zeros_like(pre.pix_x)
-    cols = [
+    rows = [
         pre.pix_x, pre.pix_y, pre.conic_a, pre.conic_b, pre.conic_c,
         logo, pre.color_r, pre.color_g, pre.color_b, pre.radius,
-    ] + [zeros] * 6
-    planes = jnp.stack(cols, axis=-1)  # (N, 16); col 9 radius (rect mask)
-    sentinel = jnp.zeros((1, 16), planes.dtype).at[0, 5].set(-1e30)
-    return jnp.concatenate([planes, sentinel], axis=0)
+    ]
+    planes = jnp.stack(rows, axis=0)  # (10, N); row 9 radius (rect mask)
+    sentinel = jnp.zeros((10, 1), planes.dtype).at[5, 0].set(-1e30)
+    return jnp.concatenate([planes, sentinel], axis=1)
 
 
 def _render_pallas_fwd_impl(pre: Preprocessed, order, camera, bg,
@@ -630,8 +636,8 @@ def _render_pallas_fwd_impl(pre: Preprocessed, order, camera, bg,
         )
     else:
         gidx, counts, origins = _select_candidates(pre, order, camera, cfg)
-    planes = _raw_planes16(pre)
-    cand_raw = planes[gidx.reshape(-1)].reshape(*gidx.shape, 16)
+    planes = _raw_planes(pre)
+    cand_raw = planes[:, gidx.reshape(-1)].reshape(10, *gidx.shape)
     blocks = blend_blocks_pallas(cand_raw, counts, origins, bg, cfg)
     return assemble_blocks(blocks, camera, cfg)
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from bench import build_problem
 from gsmpm_tpu.render.renderer import (
-    RasterConfig, _blend_blocks, _raw_planes16, _render_pallas_fwd_impl,
+    RasterConfig, _blend_blocks, _raw_planes, _render_pallas_fwd_impl,
     _select_candidates, preprocess,
 )
 from gsmpm_tpu.sim.coupling import grid2world
@@ -70,7 +70,7 @@ def main():
           f"mean={float(np.mean(np.asarray(counts))):.0f}")
 
     gather_fn = jax.jit(
-        lambda p, gi: _raw_planes16(p)[gi.reshape(-1)].reshape(*gi.shape, 16)
+        lambda p, gi: _raw_planes(p)[:, gi.reshape(-1)].reshape(10, *gi.shape)
     )
     cand_raw = timeit(gather_fn, pre, gidx, label="raw planes gather")
 
