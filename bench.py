@@ -91,7 +91,7 @@ def bench_mpm(cfg, state, model, bcs, grid, substeps_per_frame, n_frames):
         t0 = time.perf_counter()
         for _ in range(n_frames):
             ts, state, t_sim = frame(ts, t_sim)
-        jax.block_until_ready(state.x)
+        np.asarray(state.x.ravel()[0])  # host-forced completion (tpu_timing.py)
         dt_wall = time.perf_counter() - t0
         assert bool(ts.ok), "tile cap overflow during bench"
         assert bool(np.isfinite(np.asarray(state.x)).all()), "sim diverged"
@@ -112,7 +112,7 @@ def bench_mpm(cfg, state, model, bcs, grid, substeps_per_frame, n_frames):
     t0 = time.perf_counter()
     for _ in range(n_frames):
         state, t_sim = frame(state, t_sim)
-    jax.block_until_ready(state.x)
+    np.asarray(state.x.ravel()[0])  # host-forced completion (tpu_timing.py)
     dt_wall = time.perf_counter() - t0
     assert bool(np.isfinite(np.asarray(state.x)).all()), "sim diverged"
     return substeps_per_frame * n_frames / dt_wall, state
@@ -139,18 +139,27 @@ def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
             xyz_w, cov_w, opacity, features, camera, bg, scene.sh_degree, rcfg
         )
 
-    img = frame(state.x, state.cov)
+    # distinct input buffers per dispatch: the axon tunnel deduplicates
+    # identical dispatches (same executable + args return a cached result),
+    # so a repeat-same-args loop measures dispatch overhead, not rendering
+    # (scripts/tpu_timing.py)
+    n_rep = max(n_frames, 8)
+    xs = [state.x * (1.0 + 1e-6 * (i + 1)) for i in range(n_rep)]
+    img = frame(xs[0], state.cov)
     jax.block_until_ready(img)
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        img = frame(state.x, state.cov)
-    jax.block_until_ready(img)
+    for i in range(n_rep):
+        img = frame(xs[i], state.cov)
+    np.asarray(img.ravel()[0])  # host-forced completion of the last frame
     dt_wall = time.perf_counter() - t0
-    mpix = camera.width * camera.height * n_frames / 1e6
+    mpix = camera.width * camera.height * n_rep / 1e6
     return mpix / dt_wall, img
 
 
 def main():
+    from gsmpm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=245760)
     ap.add_argument("--n_grid", type=int, default=50)

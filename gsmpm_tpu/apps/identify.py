@@ -1,18 +1,24 @@
 """Entry point #2: system identification — learn E, nu from video.
 
 Parity target: /root/reference/extra.py — alternating optimization where frame
-0 refines gaussian appearance (Adam) and frames 1..N-1 backprop a photometric
-loss through 30 differentiable MPM substeps + rendering into per-particle
-logE, y (clipped SGD, lr 0.8/1.6).
+0 refines gaussian appearance (Adam over the raw 3DGS params) and frames
+1..N-1 backprop a photometric loss through 30 differentiable MPM substeps +
+rendering into per-particle logE, y (clipped SGD, lr 0.8/1.6), picking a
+random camera per frame (extra.py:194-203).
 
-The reference's training data (data_extra/mpm_synthetic) is not in the repo
-snapshot and its torus gaussians are git-lfs stubs, so this app generates its
-own ground truth: simulate the scene with known (E*, nu*), render the frames,
-then recover E, nu starting from the config's initial values.
+Two data modes:
+- --data_path DIR: fit against observed multi-camera video frames in the
+  reference's layout (camera.json / frame.json / physical.json /
+  <cam>/NNN.png — extra.py:79-151), loaded by gsmpm_tpu.io.dataset.
+- default (no --data_path): the reference's training data
+  (data_extra/mpm_synthetic) is not in the repo snapshot and its torus
+  gaussians are git-lfs stubs, so generate ground truth by simulating the
+  scene with known (E*, nu*), rendering the frames, then recovering E, nu
+  from the config's initial values.
 
 Usage:
     python -m gsmpm_tpu.apps.identify --scene torus --output_path outputs_extra/run \
-        [--synthetic N] [--iters I] [--E_true 1e5 --nu_true 0.3]
+        [--data_path DIR] [--synthetic N] [--iters I] [--E_true 1e5 --nu_true 0.3]
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import argparse
 import csv
 import json
 import os
+import random
 import time
 
 import numpy as np
@@ -63,6 +70,27 @@ def load_scene_and_velocity(scene_name: str, synthetic: int | None):
     return scene, init_v
 
 
+def make_ring_cameras(scene, resolution):
+    """A camera ring around the scene (synthetic-GT mode's stand-in for the
+    dataset's camera.json)."""
+    cameras = []
+    center = np.asarray(scene.xyz.mean(0))
+    for az in range(0, 360, 45):
+        a = np.deg2rad(az)
+        pos = center + 3.0 * np.array([np.cos(a), 0.25, np.sin(a)])
+        fwd = center - pos
+        fwd = fwd / np.linalg.norm(fwd)
+        down = np.array([0.0, -1.0, 0.0])
+        y = down - np.dot(down, fwd) * fwd
+        y = y / np.linalg.norm(y)
+        x = np.cross(y, fwd)
+        R = np.column_stack([x, y, fwd])
+        cameras.append(
+            make_camera(resolution, resolution, 0.7, 0.7, R, pos)
+        )
+    return cameras
+
+
 def identify(args):
     scene, init_v = load_scene_and_velocity(args.scene, args.synthetic)
 
@@ -77,32 +105,40 @@ def identify(args):
         fitting=True,
     )
     rcfg = RasterConfig(block=64, k_block=min(512, scene.num_gaussians), chunk=64)
+    bg = jnp.ones(3)  # parity extra.py:48 (white background)
     ident = SystemIdentifier(
         scene, mpm_cfg, init_velocity=init_v, raster_cfg=rcfg,
-        fit_cfg=FitConfig(),
+        fit_cfg=FitConfig(), bg=bg,
     )
 
-    # cameras: a ring around the scene (the reference loads data_extra
-    # camera.json; synthetic GT uses its own ring)
-    cameras = []
-    center = np.asarray(scene.xyz.mean(0))
-    for az in range(0, 360, 45):
-        a = np.deg2rad(az)
-        pos = center + 3.0 * np.array([np.cos(a), 0.25, np.sin(a)])
-        fwd = center - pos
-        fwd = fwd / np.linalg.norm(fwd)
-        down = np.array([0.0, -1.0, 0.0])
-        y = down - np.dot(down, fwd) * fwd
-        y = y / np.linalg.norm(y)
-        x = np.cross(y, fwd)
-        R = np.column_stack([x, y, fwd])
-        cameras.append(
-            make_camera(args.resolution, args.resolution, 0.7, 0.7, R, pos)
-        )
+    dataset = None
+    if args.data_path:
+        from gsmpm_tpu.io.dataset import load_observed_dataset
 
-    n_frames = args.frames
-    print(f"Generating ground truth with E*={args.E_true:g}, nu*={args.nu_true:g}")
-    gt = ident.generate_ground_truth(args.E_true, args.nu_true, cameras, n_frames)
+        dataset = load_observed_dataset(
+            args.data_path, width=args.resolution, height=args.resolution,
+            bg=np.asarray(bg),
+        )
+        n_frames = min(args.frames, dataset.n_frames)
+        cameras = dataset.cameras
+        print(
+            f"Loaded observations: {dataset.n_frames} frames x "
+            f"{dataset.n_cameras} cameras from {args.data_path}"
+        )
+        if dataset.physics:
+            print(f"physical.json: {dataset.physics}")
+
+        def gt_for(fid, cam_id):
+            return jnp.asarray(dataset.images[fid][cam_id])
+    else:
+        cameras = make_ring_cameras(scene, args.resolution)
+        n_frames = args.frames
+        print(f"Generating ground truth with E*={args.E_true:g}, nu*={args.nu_true:g}")
+        gt = ident.generate_ground_truth(args.E_true, args.nu_true, cameras, n_frames)
+
+        def gt_for(fid, cam_id):
+            # synthetic GT is rendered with camera fid % len (one per frame)
+            return gt[fid]
 
     os.makedirs(args.output_path, exist_ok=True)
     log_path = os.path.join(args.output_path, "metrics.csv")
@@ -117,16 +153,41 @@ def identify(args):
     except ImportError:
         print("Tensorboard not available: not logging progress")
 
+    # frame-0 appearance refinement (parity extra.py:198-203): Adam over the
+    # raw gaussian params against the frame-0 observation
+    tx = params = opt_state = None
+    if not args.no_appearance:
+        tx, params, opt_state = ident.make_appearance_optimizer()
+
+    rng = random.Random(args.seed)
     for iteration in range(1, args.iters + 1):
         state = ident.reset_state()
         t = jnp.float32(0.0)
-        for fid in range(1, n_frames):
+        for fid in range(0, n_frames):
+            cam_id = (
+                rng.randrange(len(cameras)) if dataset is not None
+                else fid % len(cameras)
+            )
             t0 = time.time()
-            loss, state, t, _ = ident.fit_frame(state, t, cameras[fid % len(cameras)], gt[fid])
-            E, nu = ident.optimized_E, ident.optimized_nu
+            if fid == 0:
+                if args.no_appearance:
+                    continue
+                loss, params, opt_state = ident.appearance_step(
+                    tx, params, opt_state, cameras[cam_id], gt_for(0, cam_id)
+                )
+                # appearance moved the gaussians: rebuild the sim state from
+                # the refreshed scene (the reference rebuilds the solver per
+                # iteration from current gaussians, extra.py:181-190)
+                state = ident.reset_state()
+                E, nu = ident.optimized_E, ident.optimized_nu
+            else:
+                loss, state, t, _ = ident.fit_frame(
+                    state, t, cameras[cam_id], gt_for(fid, cam_id)
+                )
+                E, nu = ident.optimized_E, ident.optimized_nu
             step = iteration * (n_frames - 1) + fid
             writer.writerow([iteration, fid, float(loss), E, nu])
-            if tb:
+            if tb and fid > 0:
                 tb.add_scalar("loss_total", float(loss), step)
                 tb.add_scalar("optimized_E", E, step)
                 tb.add_scalar("optimized_nu", nu, step)
@@ -135,19 +196,28 @@ def identify(args):
                 f"E={E:.4g} nu={nu:.4f} ({time.time()-t0:.2f}s)",
                 flush=True,
             )
-    print(f"Final: E={ident.optimized_E:.6g} nu={ident.optimized_nu:.4f} "
-          f"(true: {args.E_true:g}, {args.nu_true:g})")
+    print(f"Final: E={ident.optimized_E:.6g} nu={ident.optimized_nu:.4f}"
+          + ("" if args.data_path else
+             f" (true: {args.E_true:g}, {args.nu_true:g})"))
     return ident
 
 
 def main(argv=None):
+    from gsmpm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=str, default="torus")
     p.add_argument("--output_path", type=str, default="outputs_extra/torus_debug")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="directory of observed frames (camera.json layout)")
     p.add_argument("--synthetic", type=int, default=None)
     p.add_argument("--iters", type=int, default=TOTAL_ITERS)
     p.add_argument("--frames", type=int, default=TRAIN_NUM_FRAMES)
     p.add_argument("--resolution", type=int, default=IMAGE_WH)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_appearance", action="store_true",
+                   help="skip the frame-0 appearance Adam refinement")
     p.add_argument("--E_true", type=float, default=1e5)
     p.add_argument("--nu_true", type=float, default=0.3)
     p.add_argument("--E_init", type=float, default=2e6)

@@ -35,7 +35,7 @@ from gsmpm_tpu.io.video import encode_video, save_frame
 from gsmpm_tpu.models.gaussians import GaussianScene, load_gaussians
 from gsmpm_tpu.models.synthetic import synthetic_box_scene
 from gsmpm_tpu.render.camera import Camera, make_camera, orbit_camera
-from gsmpm_tpu.render.renderer import RasterConfig, render
+from gsmpm_tpu.render.renderer import RasterConfig, render_with_aux
 from gsmpm_tpu.render.sh import rotate_sh
 from gsmpm_tpu.sim.boundary import build_boundary_conditions, make_surface_collider, BCSet
 from gsmpm_tpu.sim.coupling import (
@@ -181,7 +181,7 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         shs = features
         if mpm.rotate_sh and R is not None:
             shs = rotate_sh(features, jnp.swapaxes(R, -1, -2), scene.sh_degree)
-        return render(
+        return render_with_aux(
             w_xyz, w_cov, opacity, shs, camera, bg, scene.sh_degree, rcfg
         )
 
@@ -208,7 +208,10 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
             if not quiet:
                 print(f"resumed from checkpoint at frame {fid0}")
 
-    img = render_frame(state.x, state.cov, None)
+    img, n_dropped = render_frame(state.x, state.cov, None)
+    if int(n_dropped):
+        print(f"WARNING: frame {start_frame - 1}: {int(n_dropped)} candidates "
+              "over the rasterizer caps were dropped (raise k_tile/k_block)")
     save_frame(np.asarray(img), images_dir, start_frame - 1)
     frames_np.append(np.asarray(img))
 
@@ -230,8 +233,11 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
                     use_tiled = False  # overflow mid-frame: redo on XLA
         if not use_tiled:
             state, t_sim, R = sim_frame(state, model, t_sim)
-        img = render_frame(state.x, state.cov, R)
+        img, n_dropped = render_frame(state.x, state.cov, R)
         img.block_until_ready()
+        if int(n_dropped):
+            print(f"WARNING: frame {fid}: {int(n_dropped)} candidates over "
+                  "the rasterizer caps were dropped (raise k_tile/k_block)")
         save_frame(np.asarray(img), images_dir, fid)
         frames_np.append(np.asarray(img))
 
@@ -258,6 +264,18 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         if not quiet:
             print(f"frame {fid}/{num_frames}  {time.time()-t0:.2f}s", flush=True)
 
+    if cfg.render.save_pcd:
+        # viewer-loadable output tree: copy the scene metadata next to the
+        # exported point-cloud sequence (parity /root/reference/main.py:327-330)
+        import shutil
+
+        for name in ("cameras.json", "cfg_args", "input.ply"):
+            src = os.path.join(cfg.model.model_path, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, name))
+            elif not quiet:
+                print(f"(save_pcd: {src} not present; skipped)")
+
     video_path = encode_video(images_dir, os.path.join(out_dir, "simulated"))
     if video_path and not quiet:
         print(f"wrote {video_path}")
@@ -267,6 +285,9 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
 
 
 def main(argv=None):
+    from gsmpm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(add_help=True)
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--synthetic", type=int, default=None,

@@ -7,17 +7,16 @@ forward.cu, consumed at /root/reference/main.py:148-156) is restructured
 around the MXU:
 
 - the quadratic form power(g, p) = -0.5(a dx^2 + c dy^2) - b dx dy is a
-  rank-6 bilinear product F(g) . H(p) with F = per-candidate coefficients
-  in BLOCK-LOCAL coordinates (keeps term magnitudes O(10^3), no f32
-  cancellation) and H = per-pixel monomials [px^2 px 1 py^2 py px*py]; one
-  (C,16)x(16,P) contraction evaluates a whole chunk of candidates against
-  all P = B*B pixels of the block;
-- opacity enters log-space as a second rank-1 matmul (alpha =
-  exp(power + log opa)) so padded/invalid candidates (opa=0 -> -inf)
-  blend to exactly zero;
+  bilinear product F(g) . H(p) with F = per-candidate coefficients in
+  BLOCK-LOCAL coordinates (keeps term magnitudes O(10^3), no f32
+  cancellation) and H = per-pixel monomials [px^2 px 1 py^2 py px*py 1];
+  H row 6 is the constant 1 paired with F row 6 = log opacity, so ONE
+  fused (16,C)^T x (16,P) contraction yields quad + log_opa directly and
+  alpha = exp of it — padded/invalid candidates (log_opa = -inf) blend to
+  exactly zero;
 - the front-to-back transmittance scan runs as log2(C) shifted multiplies
-  on the VPU; per-pixel color accumulation is a third matmul
-  (F @ w) whose rows 8..10 are the rgb sums;
+  on the VPU; per-pixel color accumulation is a second matmul of the
+  3-row color slice, F[8:11] @ w;
 - grid = (nblocks,) with candidates in a lane-major (16, K) block; a
   lax.while_loop inside the kernel walks chunks of C candidates and stops
   at ceil(count/C) chunks or as soon as every pixel is frozen
@@ -37,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -106,34 +106,44 @@ def _tree_prod(x):
     return x
 
 
+def _pixel_monomials(B, P):
+    """H (16, P): [px^2, px, 1, py^2, py, px*py, 1, 0...] block-local.
+
+    Row 6 is 1 so the single matmul F.H yields quad + log_opa directly
+    (F rows 8..10 are colors; their H rows stay 0).
+    """
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pix % B).astype(jnp.float32)
+    py = (pix // B).astype(jnp.float32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [px * px, px, one, py * py, py, px * py, one] + [zero] * 9, axis=0
+    )
+
+
+_MM = functools.partial(
+    jax.lax.dot_general,
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
 def _blend_kernel(counts_ref, cand_ref, out_ref, *,
                   C, B, P, t_min, alpha_min, n_chunks):
     b = pl.program_id(0)
     count = counts_ref[b]
     n_live = jnp.minimum((count + C - 1) // C, n_chunks)
 
-    # per-pixel monomials H (16, P): pixel p = py*B + px (block-local).
-    # Row 6 is 1 so the single matmul F.H yields quad + log_opa directly
-    # (F rows 8..10 are colors; their H rows stay 0).
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pix % B).astype(jnp.float32)
-    py = (pix // B).astype(jnp.float32)
-    one = jnp.ones_like(px)
-    zero = jnp.zeros_like(px)
-    H = jnp.concatenate(
-        [px * px, px, one, py * py, py, px * py, one] + [zero] * 9, axis=0
-    )
-
-    mm = functools.partial(
-        jax.lax.dot_general,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    H = _pixel_monomials(B, P)
+    mm = _MM
     dn0 = (((0,), (0,)), ((), ()))  # contract row dim (16)
 
     # blend state lives in the output VMEM block across loop steps:
-    # rows 0..2 rgb, row 3 T, row 4 done (as f32); only the chunk counter
-    # is loop-carried (Mosaic rejects large vector carries in while_loop)
+    # rows 0..2 rgb, row 3 T, row 4 done (as f32), row 5 last contributing
+    # candidate index + 1 (consumed by the backward kernel); only the chunk
+    # counter is loop-carried (Mosaic rejects large vector carries in
+    # while_loop)
     out_ref[0] = jnp.concatenate(
         [jnp.zeros((3, P), jnp.float32),
          jnp.ones((1, P), jnp.float32),
@@ -182,19 +192,115 @@ def _blend_kernel(counts_ref, cand_ref, out_ref, *,
         out_ref[0, 3:4, :] = T * _tree_prod(1.0 - alpha_eff)
         new_done = done | jnp.any(T_after < t_min, axis=0, keepdims=True)
         out_ref[0, 4:5, :] = new_done.astype(jnp.float32)
+        # last contributing candidate index + 1 per pixel (for the
+        # backward kernel's reverse walk)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + c * C + 1).astype(jnp.float32)
+        hit = jnp.where(contrib & (alpha > 0.0), gidx1, 0.0)
+        out_ref[0, 5:6, :] = jnp.maximum(
+            out_ref[0, 5:6, :], jnp.max(hit, axis=0, keepdims=True)
+        )
         return c + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
-    """cand_raw (10, nblocks, K) raw candidate planes (depth-ordered, padded
-    with log_opa=-inf), counts (nblocks,), origins (nblocks, 2) -> blended
-    blocks (nblocks, B, B, 3) with background composited.
+def _blend_bwd_kernel(counts_ref, cand_ref, fwd_ref, g_ref, dF_ref, acc_ref,
+                      *, C, B, P, t_min, alpha_min, n_chunks):
+    """Reverse-walk backward of the front-to-back blend.
+
+    The capability of the upstream rasterizer's backward.cu (driven from
+    /root/reference/extra.py:220), restructured for the MXU like the
+    forward: per chunk, alpha is recomputed from one F.H contraction, the
+    transmittance before the chunk is recovered by division (bounded:
+    alpha <= 0.99 and contributions keep T_after >= t_min, so the chunk
+    product is >= t_min), and the two gradient contractions
+    dF_quad = H @ dP^T and dF_rgb = g_rgb @ w^T are matmuls.
+
+    Walks chunks back-to-front maintaining per pixel (in acc scratch):
+      row 0: T_end   — transmittance after the current chunk
+      row 1: R_end   — suffix sum  sum_{j>chunk} w_j (c_j . g_rgb) + T_N g_T
+    For candidate i:  dL/da_i = T_before_i (c_i . g_rgb) - S_i / (1 - a_i)
+    with S_i the within-chunk suffix of w (c . g_rgb) plus R_end.
     """
-    _, nblocks, K = cand_raw.shape
-    B = cfg.block
-    P = B * B
+    b = pl.program_id(0)
+    count = counts_ref[b]
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
+
+    H = _pixel_monomials(B, P)
+    mm = _MM
+    dn0 = (((0,), (0,)), ((), ()))  # contract dim0 (16) or (3)
+    dnP = (((1,), (1,)), ((), ()))  # contract the pixel dim
+
+    g_rgb = g_ref[0, 0:3, :]  # (3, P) image cotangent
+    g_T = g_ref[0, 3:4, :]  # (1, P) transmittance cotangent
+    T_fin = fwd_ref[0, 3:4, :]
+    last = fwd_ref[0, 5:6, :]  # contributing idx+1, 0 = none
+
+    dF_ref[0] = jnp.zeros((16, n_chunks * C), jnp.float32)
+    acc_ref[0:1, :] = T_fin
+    acc_ref[1:2, :] = T_fin * g_T
+
+    def body(k, _):
+        c = n_live - 1 - k
+        T_end = acc_ref[0:1, :]
+        R_end = acc_ref[1:2, :]
+        F = cand_ref[0, :, pl.ds(c * C, C)]  # (16, C)
+        power = mm(F, H, dimension_numbers=dn0)  # (C, P)
+        lgo = F[6:7, :].reshape(C, 1)
+        expp = jnp.exp(power)
+        alpha = jnp.minimum(0.99, expp)
+        gate0 = (power <= lgo) & (alpha >= alpha_min)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + c * C + 1).astype(jnp.float32)
+        contrib = gate0 & (gidx1 <= last)  # (C, P)
+        a_eff = jnp.where(contrib, alpha, 0.0)
+        one_minus = 1.0 - a_eff
+
+        prodc = _tree_prod(one_minus)  # (1, P) >= t_min (see docstring)
+        T_start = T_end / prodc
+        cp = one_minus
+        s = 1
+        while s < C:  # inclusive cumprod (Hillis-Steele)
+            cp = cp * jnp.concatenate(
+                [jnp.ones((s, P), jnp.float32), cp[: C - s]], axis=0
+            )
+            s *= 2
+        excl = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), cp[:-1]], axis=0
+        )
+        T_before = T_start * excl  # (C, P)
+        w = T_before * a_eff
+
+        cdot = mm(F[8:11, :], g_rgb, dimension_numbers=dn0)  # (C, P)
+        v = w * cdot
+        suf = v
+        s = 1
+        while s < C:  # inclusive suffix sum
+            suf = suf + jnp.concatenate(
+                [suf[s:], jnp.zeros((s, P), jnp.float32)], axis=0
+            )
+            s *= 2
+        S = R_end + (suf - v)  # (C, P) strict suffix + cross-chunk tail
+
+        dA = T_before * cdot - S / one_minus
+        dP_ = jnp.where(contrib & (expp < 0.99), dA * alpha, 0.0)
+
+        dFq = mm(H, dP_, dimension_numbers=dnP)  # (16, C)
+        dFc = mm(g_rgb, w, dimension_numbers=dnP)  # (3, C)
+        dF_ref[0, :, pl.ds(c * C, C)] = jnp.concatenate(
+            [dFq[0:8], dFq[8:11] + dFc, dFq[11:]], axis=0
+        )
+
+        acc_ref[0:1, :] = T_start
+        acc_ref[1:2, :] = R_end + jnp.sum(v, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_live, body, 0)
+
+
+def _blend_meta(K, cfg):
+    """(C, n_chunks, K_padded) for a given candidate capacity."""
     C = cfg.chunk
     if not _use_interpret():
         # Mosaic requires the chunk walk's lane offsets to be provably
@@ -202,23 +308,22 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
         # (see module docstring) so rounding up is semantics-preserving.
         C = -(-C // 128) * 128
     n_chunks = -(-K // C)
-    if n_chunks * C != K:
-        # pad columns must carry log_opa = -inf: the last count-bounded
-        # chunk can straddle K, and a zero log_opa would blend as an
-        # opaque splat at the block origin
-        cand_raw = jnp.pad(
-            cand_raw, ((0, 0), (0, 0), (0, n_chunks * C - K)),
-            constant_values=0.0,
-        )
-        cand_raw = cand_raw.at[CLOGO, :, K:].set(-1e30)
-    F = _build_F(
-        cand_raw, origins[:, 0:1].astype(jnp.float32),
-        origins[:, 1:2].astype(jnp.float32), B,
-    )
+    return C, n_chunks, n_chunks * C
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _blend_core(counts, F, meta):
+    """(counts, F (nblocks, 16, KC)) -> out (nblocks, 8, P).
+
+    Out rows: 0..2 accumulated rgb, 3 transmittance, 4 done flag, 5 last
+    contributor (forward bookkeeping).  Differentiable in F via the
+    reverse-walk Pallas kernel (_blend_bwd_kernel).
+    """
+    C, B, P, t_min, alpha_min, n_chunks = meta
+    nblocks = F.shape[0]
     kernel = functools.partial(
-        _blend_kernel, C=C, B=B, P=P, t_min=float(cfg.t_min),
-        alpha_min=float(cfg.alpha_min), n_chunks=n_chunks,
+        _blend_kernel, C=C, B=B, P=P, t_min=t_min,
+        alpha_min=alpha_min, n_chunks=n_chunks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -230,12 +335,85 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
         out_specs=pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks, 8, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(counts.astype(jnp.int32), F)
+
+
+def _blend_core_fwd(counts, F, meta):
+    out = _blend_core(counts, F, meta)
+    return out, (counts, F, out)
+
+
+def _blend_core_bwd(meta, res, g):
+    counts, F, out = res
+    C, B, P, t_min, alpha_min, n_chunks = meta
+    nblocks = F.shape[0]
+    kernel = functools.partial(
+        _blend_bwd_kernel, C=C, B=B, P=P, t_min=t_min,
+        alpha_min=alpha_min, n_chunks=n_chunks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+    )
+    dF = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks, 16, n_chunks * C),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts.astype(jnp.int32), F, out, g)
+    d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return d_counts, dF
+
+
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+
+
+def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
+    """cand_raw (10, nblocks, K) raw candidate planes (depth-ordered, padded
+    with log_opa=-inf), counts (nblocks,), origins (nblocks, 2) -> blended
+    blocks (nblocks, B, B, 3) with background composited.
+
+    Differentiable end-to-end: the Pallas forward pairs with the Pallas
+    reverse-walk backward (_blend_bwd_kernel) via custom VJP, and the F
+    build + background compositing are plain jnp.
+    """
+    _, nblocks, K = cand_raw.shape
+    B = cfg.block
+    P = B * B
+    C, n_chunks, K_pad = _blend_meta(K, cfg)
+    if K_pad != K:
+        # pad columns must carry log_opa = -inf: the last count-bounded
+        # chunk can straddle K, and a zero log_opa would blend as an
+        # opaque splat at the block origin
+        cand_raw = jnp.pad(
+            cand_raw, ((0, 0), (0, 0), (0, K_pad - K)),
+            constant_values=0.0,
+        )
+        cand_raw = cand_raw.at[CLOGO, :, K:].set(-1e30)
+    F = _build_F(
+        cand_raw, origins[:, 0:1].astype(jnp.float32),
+        origins[:, 1:2].astype(jnp.float32), B,
+    )
+
+    meta = (C, B, P, float(cfg.t_min), float(cfg.alpha_min), n_chunks)
+    out = _blend_core(counts, F, meta)
 
     rgb = out[:, 0:3, :] + out[:, 3:4, :] * bg[None, :, None]
     return rgb.reshape(nblocks, 3, B, B).transpose(0, 2, 3, 1)

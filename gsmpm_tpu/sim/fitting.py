@@ -112,12 +112,14 @@ class SystemIdentifier:
         n_sub = fcfg.substeps_per_frame
         bcs = self.bcs
         bg, rcfg = self.bg, self.raster_cfg
-        opacity = self.scene.get_opacity().reshape(-1)
-        features = self.scene.get_features()
         sh_degree = self.scene.sh_degree
         base_model = self.model
 
-        def frame_loss(logE, y, state, t, camera, gt, scaling, pos_center):
+        # opacity/features are traced args, not closure constants: the
+        # frame-0 appearance Adam (extra.py:198-203) updates them between
+        # physics frames and must be visible here without a recompile
+        def frame_loss(logE, y, state, t, camera, gt, scaling, pos_center,
+                       opacity, features):
             mu, lam = mu_lam_from_logE_y(logE, y)
             model = dataclasses.replace(base_model, logE=logE, y=y, mu=mu, lam=lam)
             state, t = run_substeps(
@@ -154,6 +156,7 @@ class SystemIdentifier:
         (loss, (state, t, img)), (g_logE, g_y) = self._frame_fn(
             self.model.logE, self.model.y, state, t, camera, gt_image,
             self.scaling, self.pos_center,
+            self.scene.get_opacity().reshape(-1), self.scene.get_features(),
         )
         logE, y = sgd_learn(self.model.logE, self.model.y, g_logE, g_y, self.fit_cfg)
         mu, lam = mu_lam_from_logE_y(logE, y)
@@ -268,31 +271,42 @@ class SystemIdentifier:
 
     def appearance_step(self, tx, params, opt_state, camera: Camera, gt_image):
         """One Adam step on appearance from the frame-0 observation."""
-        rotation = self.scene.rotation
-        sh_degree = self.scene.sh_degree
-        bg, rcfg = self.bg, self.raster_cfg
+        if getattr(self, "_appearance_fn", None) is None:
+            import optax
 
-        def loss_fn(p):
-            sc = GaussianScene(
-                xyz=p["xyz"],
-                features_dc=p["features_dc"],
-                features_rest=p["features_rest"],
-                opacity=p["opacity"],
-                scaling=p["scaling"],
-                rotation=rotation,
-                sh_degree=sh_degree,
-            )
-            img = render(
-                sc.xyz, sc.get_covariance(), sc.get_opacity().reshape(-1),
-                sc.get_features(), camera, bg, sh_degree, rcfg,
-            )
-            return photometric_loss(img, gt_image)
+            rotation = self.scene.rotation
+            sh_degree = self.scene.sh_degree
+            bg, rcfg = self.bg, self.raster_cfg
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        import optax
+            def loss_fn(p, camera, gt_image):
+                sc = GaussianScene(
+                    xyz=p["xyz"],
+                    features_dc=p["features_dc"],
+                    features_rest=p["features_rest"],
+                    opacity=p["opacity"],
+                    scaling=p["scaling"],
+                    rotation=rotation,
+                    sh_degree=sh_degree,
+                )
+                img = render(
+                    sc.xyz, sc.get_covariance(), sc.get_opacity().reshape(-1),
+                    sc.get_features(), camera, bg, sh_degree, rcfg,
+                )
+                return photometric_loss(img, gt_image)
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+            def step(params, opt_state, camera, gt_image):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, camera, gt_image
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return loss, params, opt_state
+
+            self._appearance_fn = jax.jit(step)
+
+        loss, params, opt_state = self._appearance_fn(
+            params, opt_state, camera, gt_image
+        )
         self.scene = dataclasses.replace(
             self.scene,
             xyz=params["xyz"],

@@ -10,6 +10,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gsmpm_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -77,16 +77,19 @@ def test_gradient_matches_finite_difference():
     logE0 = ident.model.logE
     y0 = ident.model.y
 
+    opacity = ident.scene.get_opacity().reshape(-1)
+    features = ident.scene.get_features()
+
     def scalar_loss(shift):
         (loss, _), _ = ident._frame_fn(
             logE0 + shift, y0, state0, jnp.float32(0.0), cam, gt,
-            ident.scaling, ident.pos_center,
+            ident.scaling, ident.pos_center, opacity, features,
         )
         return float(loss)
 
     (loss, _), (g_logE, _) = ident._frame_fn(
         logE0, y0, state0, jnp.float32(0.0), cam, gt,
-        ident.scaling, ident.pos_center,
+        ident.scaling, ident.pos_center, opacity, features,
     )
     # directional derivative along uniform shift = sum of per-particle grads
     analytic = float(jnp.sum(g_logE))

@@ -50,8 +50,11 @@ def test_pallas_blend_matches_xla():
 
 
 def test_pallas_render_grads_match_xla():
-    """The custom VJP backs the Pallas forward with the XLA-path vjp; with
-    a fixed cotangent the two impls must produce identical input grads."""
+    """The Pallas path backward is the reverse-walk kernel
+    (pallas_blend._blend_bwd_kernel); its input grads must agree with the
+    XLA path's autodiff to f32 reassociation tolerance (the kernel
+    reconstructs transmittance by division and factors the quadratic, so
+    bitwise equality is not expected)."""
     means, cov6, opacity, colors, camera = _scene(n=200, seed=3)
     bg = jnp.zeros(3, jnp.float32)
     rng = np.random.default_rng(11)
@@ -68,6 +71,80 @@ def test_pallas_render_grads_match_xla():
     _, vjp_x = jax.vjp(f("xla"), means, cov6, opacity)
     _, vjp_p = jax.vjp(f("pallas"), means, cov6, opacity)
     for a, b in zip(vjp_p(ct), vjp_x(ct)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 5e-3, (
+            np.abs(a - b).max(), scale
         )
+
+
+def test_pallas_backward_kernel_matches_finite_differences():
+    """Direct correctness of the reverse-walk backward kernel: analytic
+    d(loss)/d(opacity) vs central differences through the pallas path."""
+    means, cov6, opacity, colors, camera = _scene(n=96, seed=9)
+    bg = jnp.asarray([0.2, 0.4, 0.1], jnp.float32)
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(
+        rng.normal(size=(camera.height, camera.width, 3)).astype(np.float32)
+    )
+    cfg = _cfg("pallas")
+
+    def loss(opv):
+        img = render(means, cov6, opv, None, camera, bg, cfg=cfg,
+                     colors_precomp=colors)
+        return jnp.sum(img * w)
+
+    g = jax.grad(loss)(opacity)
+    op_np = np.asarray(opacity)
+    h = 1e-3
+    idx = rng.choice(op_np.shape[0], 10, replace=False)
+    rels = []
+    for i in idx:
+        opp = op_np.copy(); opp[i] += h
+        opm = op_np.copy(); opm[i] -= h
+        fd = (float(loss(jnp.asarray(opp))) - float(loss(jnp.asarray(opm)))) / (2 * h)
+        an = float(g[i])
+        rels.append(abs(an - fd) / max(abs(fd), 1e-2))
+    rels = sorted(rels)
+    # the loss is only piecewise smooth (alpha_min / t_min / 0.99-clip
+    # gates), so individual probes can straddle a kink; require the bulk
+    # to agree tightly
+    assert rels[len(rels) // 2] < 2e-2, rels  # median within 2%
+    assert sum(r < 5e-2 for r in rels) >= 8, rels  # >= 8/10 within 5%
+
+
+def test_blend_pad_columns_contribute_zero():
+    """K % C != 0 regression (ADVICE round 1): the count-bounded chunk walk
+    can straddle K, and pad columns without log_opa = -inf would blend as
+    opaque splats at the block origin.  chunk=48 with K=64 pads to 96; a
+    count of 60 lands the last live chunk across the K boundary."""
+    from gsmpm_tpu.render.pallas_blend import blend_blocks_pallas
+    from gsmpm_tpu.render.renderer import RasterConfig
+
+    rng = np.random.default_rng(0)
+    B, K = 32, 64
+    nb = 1
+    cand = np.zeros((10, nb, K), np.float32)
+    cand[0] = rng.uniform(4.0, B - 4.0, (nb, K))   # pix_x in block
+    cand[1] = rng.uniform(4.0, B - 4.0, (nb, K))   # pix_y
+    cand[2] = 0.5   # conic_a
+    cand[3] = 0.0
+    cand[4] = 0.5
+    cand[5] = np.log(0.6)  # log opacity
+    cand[6:9] = rng.uniform(0.2, 1.0, (3, nb, K))
+    cand[9] = 6.0  # radius (passes the in-rect test)
+    counts = jnp.asarray([60], jnp.int32)
+    origins = jnp.zeros((nb, 2), jnp.int32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    out48 = blend_blocks_pallas(
+        jnp.asarray(cand), counts, origins, bg,
+        RasterConfig(block=B, chunk=48),
+    )
+    out32 = blend_blocks_pallas(
+        jnp.asarray(cand), counts, origins, bg,
+        RasterConfig(block=B, chunk=32),
+    )
+    a, b = np.asarray(out48), np.asarray(out32)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

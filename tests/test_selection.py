@@ -129,3 +129,102 @@ def test_pallas_dup_image_matches_xla():
     a, b = np.asarray(img_p), np.asarray(img_x)
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
     assert np.mean(np.abs(a - b)) < 5e-6
+
+
+# ---- v2 selection (depth-in-key dup sort; the production pallas path) ----
+
+from gsmpm_tpu.render.renderer import (  # noqa: E402
+    _select_candidates_dupsort_v2,
+    render_with_aux,
+)
+
+
+def _scene_distinct_depth(n=800, seed=0, big=0, res=192):
+    """Like _scene but with depths separated beyond the 23-bit quantization
+    step, so v2's quantized-depth order equals the exact depth order."""
+    means, cov6, opacity, colors, camera = _scene(n=n, seed=seed, big=big)
+    z = 4.0 + np.arange(n, dtype=np.float32) * 0.001
+    rng = np.random.default_rng(seed + 100)
+    z = rng.permutation(z)
+    means = np.array(means, copy=True)
+    means[:, 2] = z
+    return (jnp.asarray(means), cov6, opacity, colors, camera)
+
+
+def test_dupsort_v2_selection_matches_topk():
+    means, cov6, opacity, colors, camera = _scene_distinct_depth(
+        n=800, seed=2, big=6
+    )
+    cfg = RasterConfig(block=64, k_block=800, k_row=800,
+                       k_tile=768, k_coarse=256, k_global=128)
+    pre = preprocess(means, cov6, opacity, None, camera, 0, cfg,
+                     colors_precomp=colors)
+    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
+
+    g_top, c_top, org = jax.jit(
+        lambda p, o: _select_candidates(p, o, camera, cfg)
+    )(pre, order)
+    g_v2, c_v2, org2, dropped = jax.jit(
+        lambda p: _select_candidates_dupsort_v2(p, camera, cfg)
+    )(pre)
+    assert int(dropped) == 0
+    g_top, g_v2 = np.asarray(g_top), np.asarray(g_v2)
+    org = np.asarray(org)
+    np.testing.assert_array_equal(org, np.asarray(org2))
+
+    B = cfg.block
+    n = 800
+    c_v2 = np.asarray(c_v2)
+    for b in range(g_top.shape[0]):
+        x0, y0 = org[b]
+        ht = _rect_hits(pre, g_top[b], x0, y0, B)
+        # v2 padding slots point at gaussian 0: mask by counts first
+        live = np.arange(g_v2.shape[1]) < c_v2[b]
+        hv = _rect_hits(pre, g_v2[b], x0, y0, B) & live
+        np.testing.assert_array_equal(g_top[b][ht], g_v2[b][hv])
+
+
+def test_dupsort_v2_image_matches_xla():
+    means, cov6, opacity, colors, camera = _scene_distinct_depth(
+        n=800, seed=5, big=8
+    )
+    bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+    base = dict(block=64, k_block=1024, k_row=2048, chunk=32)
+    img_x = render(means, cov6, opacity, None, camera, bg,
+                   cfg=RasterConfig(**base, impl="xla"),
+                   colors_precomp=colors)
+    img_p, dropped = render_with_aux(
+        means, cov6, opacity, None, camera, bg,
+        cfg=RasterConfig(**base, impl="pallas"), colors_precomp=colors)
+    assert int(dropped) == 0
+    a, b = np.asarray(img_p), np.asarray(img_x)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
+    assert np.mean(np.abs(a - b)) < 5e-6
+
+
+def test_dupsort_v2_overflow_detected():
+    """A scene exceeding k_tile must report dropped candidates, not hide them
+    (VERDICT round-1 weakness #3: silent cap truncation)."""
+    means, cov6, opacity, colors, camera = _scene_distinct_depth(n=800, seed=7)
+    cfg = RasterConfig(block=64, k_tile=8, k_coarse=8, k_global=8)
+    pre = preprocess(means, cov6, opacity, None, camera, 0, cfg,
+                     colors_precomp=colors)
+    _, _, _, dropped = jax.jit(
+        lambda p: _select_candidates_dupsort_v2(p, camera, cfg)
+    )(pre)
+    assert int(dropped) > 0
+
+
+def test_xla_overflow_detected():
+    from gsmpm_tpu.render.renderer import _xla_dropped_count
+
+    means, cov6, opacity, colors, camera = _scene_distinct_depth(n=800, seed=7)
+    cfg = RasterConfig(block=64, k_block=8, k_row=16)
+    pre = preprocess(means, cov6, opacity, None, camera, 0, cfg,
+                     colors_precomp=colors)
+    dropped = jax.jit(lambda p: _xla_dropped_count(p, camera, cfg))(pre)
+    assert int(dropped) > 0
+    # and a roomy config reports zero
+    cfg2 = RasterConfig(block=64, k_block=1024, k_row=8192)
+    d2 = jax.jit(lambda p: _xla_dropped_count(p, camera, cfg2))(pre)
+    assert int(d2) == 0
