@@ -104,6 +104,21 @@ def identify(args):
         gravity=[0.0, -9.81, 0.0],
         fitting=True,
     )
+    from gsmpm_tpu.sim.fitting import cfl_dt_limit
+
+    fit_dt = FitConfig().frame_dt / FitConfig().substeps_per_frame
+    dt_lim = cfl_dt_limit(
+        max(args.E_init, args.E_true), max(args.nu_init, args.nu_true),
+        mpm_cfg.density, mpm_cfg.grid_extent / mpm_cfg.n_grid,
+    )
+    if fit_dt > dt_lim:
+        print(
+            f"WARNING: fitting dt {fit_dt:.2e} exceeds the CFL bound "
+            f"{dt_lim:.2e} for E={max(args.E_init, args.E_true):g} at "
+            f"density {mpm_cfg.density:g} — the forward sim will likely "
+            "NaN and E will stay frozen (lower --E_init/--E_true)"
+        )
+
     rcfg = RasterConfig(block=64, k_block=min(512, scene.num_gaussians), chunk=64)
     bg = jnp.ones(3)  # parity extra.py:48 (white background)
     ident = SystemIdentifier(

@@ -9,17 +9,19 @@ TPU-native design (not a port of the CUDA tile binner):
 1. preprocess — EWA projection (view transform, perspective Jacobian, 2D
    covariance + 0.3 low-pass, SH->RGB) in SoA planes layout: every quantity
    is an (N,) array so the VPU runs full 128-lane; no (N,3,3) relayouts;
-2. one global depth argsort (replaces the per-tile (tileID|depth) radix sort);
-3. two-stage static-shape binning (replaces the CUDA dynamic tile lists):
-   per BLOCK ROW take the first k_row depth-ordered gaussians whose screen
-   rect crosses the row, then per BxB block the first k_block of those
-   crossing the block — two lax.top_k passes over masked depth ranks;
-4. front-to-back alpha blending as a scan over gaussian chunks in (chunk, P)
-   layout (P = B*B pixels on the 128-lane axis) with exact emulation of the
-   CUDA early-stop (T < 1e-4 freeze) via cumulative products.
-
-Everything is jnp -> the whole renderer is differentiable with jax.grad;
-jax.checkpoint on the chunk body keeps backward memory at O(P * chunk).
+2. production selection (_select_candidates_dupsort_v2): per-gaussian
+   duplication keys carrying (tile | quantized depth) in one int32, one
+   2-operand lax.sort, contiguous per-tile segments, per-block merge of
+   fine/coarse/global streams — shaped by this chip's measured cost model
+   (sorts cheap, gathers ~10 ns/index; see the function docstring);
+3. the Pallas MXU blend kernel (render/pallas_blend.py) forward + the
+   reverse-walk Pallas backward via custom VJP — the whole pallas path is
+   natively differentiable (gather transposes to scatter-add, selection is
+   integer-valued);
+4. the XLA reference path (impl="xla"): global depth argsort + two-stage
+   top_k binning + a chunk-scan blend with exact emulation of the CUDA
+   early-stop (T < 1e-4 freeze) — differentiable end to end with jax.grad,
+   the golden model for the kernels and the CPU-compile fallback.
 """
 
 from __future__ import annotations

@@ -52,6 +52,21 @@ class FitConfig(NamedTuple):
     world_pad: float = 0.3  # parity extra.py:320
 
 
+def cfl_dt_limit(E: float, nu: float, density: float, dx: float) -> float:
+    """Explicit-MPM stability bound: dt < dx / c_p with the p-wave speed
+    c_p = sqrt((lambda + 2 mu) / rho).
+
+    The reference has no such check and silently NaNs when E_init is too
+    stiff for the fitting dt (extra.py's 2e6 default at dt = 0.03/30
+    diverges for typical densities); the fitting entry point warns via
+    this helper so a frozen-E run is diagnosable.
+    """
+    lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    mu = E / (2.0 * (1.0 + nu))
+    c_p = float(np.sqrt((lam + 2.0 * mu) / density))
+    return dx / c_p
+
+
 def sgd_learn(logE, y, g_logE, g_y, cfg: FitConfig):
     """Per-particle clipped SGD (parity: MPM_Simulator.learn).
 
