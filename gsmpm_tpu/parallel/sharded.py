@@ -288,3 +288,128 @@ def make_sharded_fit_step(
         return sharded(logE, y, state, t, opacity, features, gt)
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# camera-batch data parallelism (SURVEY §2.3 "DP over cameras/frames")
+# ---------------------------------------------------------------------------
+
+def stack_cameras(cameras):
+    """Stack same-resolution Cameras into one pytree with a leading batch
+    axis on the array fields (static fields must agree)."""
+    c0 = cameras[0]
+    for c in cameras[1:]:
+        assert (c.width, c.height, c.fovx, c.fovy) == (
+            c0.width, c0.height, c0.fovx, c0.fovy
+        ), "stack_cameras needs identical static camera fields"
+    return Camera(
+        view=jnp.stack([c.view for c in cameras]),
+        full_proj=jnp.stack([c.full_proj for c in cameras]),
+        campos=jnp.stack([c.campos for c in cameras]),
+        width=c0.width, height=c0.height, fovx=c0.fovx, fovy=c0.fovy,
+    )
+
+
+def make_camera_dp_fit_step(
+    mesh: Mesh,
+    example_model,
+    bcs,
+    grid: GridConfig,
+    frame_dt: float,
+    n_substeps: int,
+    bg,
+    opacity,
+    features,
+    sh_degree: int,
+    scaling,
+    pos_center,
+    grid_extent: float,
+    raster_cfg: RasterConfig = RasterConfig(),
+    lr_logE: float = 0.8,
+    lr_y: float = 1.6,
+    grad_clip: float = 1.0,
+    cam_axis: str = "cam",
+    example_camera: Optional[Camera] = None,
+):
+    """Data-parallel system-ID step over a batch of cameras/observations.
+
+    The reference trains one random camera per frame (extra.py:194); with
+    multi-camera observations (io/dataset.py) every frame can instead use
+    ALL cameras at once — one camera per device over the ``cam`` mesh axis,
+    physics replicated, loss = mean over cameras, per-particle logE/y
+    gradients psum-reduced over ICI before the clipped SGD update.
+
+    jit fn(logE, y, state, t, view_b (B,4,4), proj_b (B,4,4),
+           campos_b (B,3), gts (B,H,W,3)) ->
+        (loss, new_logE, new_y, new_state, new_t)
+
+    (Camera static fields come from example_camera; pass the batch's array
+    fields separately so the shard_map specs need no Camera treedef.)
+    """
+    base_model = example_model
+    dt = frame_dt / n_substeps
+    nb = mesh.shape[cam_axis]
+    ec = example_camera
+
+    def local(logE, y, state, t, view_b, proj_b, campos_b, gt_b):
+        camera = Camera(
+            view=view_b[0], full_proj=proj_b[0], campos=campos_b[0],
+            width=ec.width, height=ec.height, fovx=ec.fovx, fovy=ec.fovy,
+        )
+        gt = gt_b[0]
+
+        def frame_loss(logE, y, state, t):
+            mu, lam = mu_lam_from_logE_y(logE, y)
+            model = dataclasses.replace(
+                base_model, logE=logE, y=y, mu=mu, lam=lam
+            )
+            state, t = run_substeps(
+                state, model, bcs, t, n_substeps, grid, dt,
+                fitting=True, checkpoint_policy="substep",
+            )
+            F = state.F
+            cov6 = upper_from_mat(
+                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+            )
+            xyz_w, cov_w = grid2world(
+                state.x, cov6, scaling, pos_center, grid_extent
+            )
+            from gsmpm_tpu.render.renderer import render
+
+            img = render(
+                xyz_w, cov_w, opacity, features, camera, bg, sh_degree,
+                raster_cfg,
+            )
+            # mean over the camera batch: psum of per-device means / B
+            loss = jax.lax.psum(photometric_loss(img, gt), cam_axis) / nb
+            return loss, (state, t)
+
+        (loss, (state, t)), (g_logE, g_y) = jax.value_and_grad(
+            frame_loss, argnums=(0, 1), has_aux=True
+        )(logE, y, state, t)
+        # each device's backward only carries its own camera's term of the
+        # psum'd loss: reduce so the SGD update is identical on every
+        # replica of logE/y
+        g_logE = jax.lax.psum(g_logE, cam_axis)
+        g_y = jax.lax.psum(g_y, cam_axis)
+        c = grad_clip
+        g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
+        g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
+        return loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(cam_axis), P(cam_axis),
+                  P(cam_axis), P(cam_axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(logE, y, state, t, cameras_stacked: Camera, gts):
+        return sharded(
+            logE, y, state, t, cameras_stacked.view,
+            cameras_stacked.full_proj, cameras_stacked.campos, gts,
+        )
+
+    return jax.jit(step)

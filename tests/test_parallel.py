@@ -168,3 +168,89 @@ def test_sharded_fit_step_matches_single_device():
         np.asarray(unpad(out_state, n).x), np.asarray(ref_state.x),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_camera_dp_fit_step_matches_mean_of_singles():
+    """DP over cameras (SURVEY §2.3): the batched step's loss/update must
+    equal the camera-mean of single-camera losses/gradients."""
+    from jax.sharding import Mesh
+
+    from gsmpm_tpu.ops.losses import photometric_loss
+    from gsmpm_tpu.parallel.sharded import (
+        make_camera_dp_fit_step, stack_cameras,
+    )
+    from gsmpm_tpu.sim.coupling import mat_from_upper, upper_from_mat
+    from gsmpm_tpu.sim.state import mu_lam_from_logE_y
+
+    cfg, state, model, bcs, grid = small_setup(fitting=True)
+    bcs = BCSet(grid_ops=(StickyGroundBC(),))
+    scene = synthetic_box_scene(n=N_PART, lo=(-0.4, -0.4, 0.2), hi=(0.4, 0.4, 1.0))
+    g_xyz, pos_center, scaling = world2grid(scene.xyz, cfg.grid_extent)
+    opac = scene.get_opacity().reshape(-1)
+    feats = scene.get_features()
+    bg = jnp.ones(3)
+    res = 24
+    B = 4
+    cams = []
+    for k in range(B):
+        a = 2.0 * np.pi * k / B
+        pos = np.array([1.0 + 2.5 * np.cos(a), 1.0 + 2.5 * np.sin(a), 0.9])
+        fwd = np.array([1.0, 1.0, 0.8]) - pos
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        xaxis = np.cross(up, fwd); xaxis /= np.linalg.norm(xaxis)
+        yaxis = np.cross(fwd, xaxis)
+        R = np.column_stack([xaxis, yaxis, fwd])
+        cams.append(make_camera(res, res, 0.8, 0.8, R, pos))
+    rng = np.random.default_rng(7)
+    gts = jnp.asarray(rng.uniform(0, 1, (B, res, res, 3)).astype(np.float32))
+
+    devs = jax.devices()[:B]
+    mesh = Mesh(np.array(devs), ("cam",))
+    step = make_camera_dp_fit_step(
+        mesh, model, bcs, grid, cfg.frame_dt, N_SUB, bg, opac, feats,
+        scene.sh_degree, scaling, pos_center, cfg.grid_extent,
+        example_camera=cams[0],
+    )
+    with mesh:
+        loss_b, logE_b, y_b, state_b, t_b = step(
+            model.logE, model.y, state, jnp.float32(0.0),
+            stack_cameras(cams), gts,
+        )
+
+    # reference: mean over per-camera single losses and grads
+    dt = cfg.frame_dt / N_SUB
+
+    def frame_loss(logE, y, cam, gt):
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        m = dataclasses.replace(model, logE=logE, y=y, mu=mu, lam=lam)
+        st, _ = run_substeps(
+            state, m, bcs, jnp.float32(0.0), N_SUB, grid, dt, fitting=True,
+            checkpoint_policy="substep",
+        )
+        F = st.F
+        cov6 = upper_from_mat(
+            F @ mat_from_upper(st.init_cov) @ jnp.swapaxes(F, -1, -2)
+        )
+        xyz_w, cov_w = grid2world(st.x, cov6, scaling, pos_center, cfg.grid_extent)
+        img = render(xyz_w, cov_w, opac, feats, cam, bg, scene.sh_degree,
+                     RasterConfig())
+        return photometric_loss(img, gt)
+
+    losses, gEs, gys = [], [], []
+    for k in range(B):
+        l, (gE, gy) = jax.value_and_grad(
+            frame_loss, argnums=(0, 1)
+        )(model.logE, model.y, cams[k], gts[k])
+        losses.append(float(l)); gEs.append(gE); gys.append(gy)
+    mean_loss = float(np.mean(losses))
+    gE = sum(gEs) / B
+    gy = sum(gys) / B
+    ref_logE = model.logE - 0.8 * jnp.clip(gE, -1, 1)
+    ref_y = model.y - 1.6 * jnp.clip(gy, -1, 1)
+
+    assert abs(float(loss_b) - mean_loss) < 1e-5, (float(loss_b), mean_loss)
+    np.testing.assert_allclose(np.asarray(logE_b), np.asarray(ref_logE),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_y),
+                               rtol=1e-4, atol=1e-6)
