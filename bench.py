@@ -169,10 +169,13 @@ def main():
     ap.add_argument("--render_frames", type=int, default=3)
     ap.add_argument("--small", action="store_true",
                     help="tiny CPU-friendly smoke-test sizes")
+    ap.add_argument("--skip_100grid", action="store_true",
+                    help="skip the secondary 100^3-grid MPM measurement")
     args = ap.parse_args()
     if args.small:
         args.particles, args.n_grid, args.res = 4096, 24, 128
         args.substeps, args.sim_frames, args.render_frames = 10, 2, 2
+        args.skip_100grid = True
 
     (cfg, scene, state, model, bcs, grid, camera, scaling, pos_center) = (
         build_problem(args.particles, args.n_grid, args.res)
@@ -184,6 +187,22 @@ def main():
     mpix_per_s, _ = bench_render(
         scene, state, camera, scaling, pos_center, cfg, args.render_frames
     )
+
+    # the reference's large scenes (mic/chair/udon/metal_cupnoodle) run a
+    # 100^3 grid (/root/reference/configs/mic.json:14); measure that shape
+    # too so scaling past 50^3 stays validated (VERDICT r1 item 7)
+    substeps_per_s_100 = None
+    if not args.skip_100grid and args.n_grid != 100:
+        try:
+            (cfg2, _, state2, model2, bcs2, grid2, *_rest) = build_problem(
+                args.particles, 100, args.res
+            )
+            substeps_per_s_100, _ = bench_mpm(
+                cfg2, state2, model2, bcs2, grid2, args.substeps,
+                max(1, args.sim_frames - 1),
+            )
+        except Exception as e:  # keep the primary metric alive
+            print(f"(100-grid bench failed: {e!r})", flush=True)
 
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
@@ -205,6 +224,10 @@ def main():
             "n_grid": args.n_grid,
             "res": args.res,
             "substeps_per_frame": args.substeps,
+            **(
+                {"mpm_substeps_per_s_100grid": round(substeps_per_s_100, 2)}
+                if substeps_per_s_100 is not None else {}
+            ),
         },
     }))
 

@@ -50,6 +50,14 @@ class FitConfig(NamedTuple):
     lr_y: float = 1.6  # parity solver.py:108
     grad_clip: float = 1.0  # parity solver.py:96-105
     world_pad: float = 0.3  # parity extra.py:320
+    # tie_params=True treats (logE, y) as a single scalar pair shared by all
+    # particles: the gradient is the SUM over particles (the chain rule for a
+    # broadcast scalar), clipped as a scalar.  The reference keeps per-particle
+    # parameters and reads out their mean (extra.py:248-249), but its mean-loss
+    # per-particle gradients are O(1/n_pixels) each, so the mean E moves by
+    # ~1e-5 decades per SGD step — the scalar mode is the practical way to
+    # recover E, nu for a single-material scene in O(100) steps.
+    tie_params: bool = False
 
 
 def cfl_dt_limit(E: float, nu: float, density: float, dx: float) -> float:
@@ -74,6 +82,11 @@ def sgd_learn(logE, y, g_logE, g_y, cfg: FitConfig):
     than propagated — the NaN-guard the reference lacks (SURVEY §5).
     """
     c = cfg.grad_clip
+    if cfg.tie_params:
+        # scalar-parameter chain rule: d loss / d logE_scalar = sum_p grads
+        g_logE = jnp.clip(jnp.where(jnp.isfinite(g_logE), g_logE, 0.0).sum(), -c, c)
+        g_y = jnp.clip(jnp.where(jnp.isfinite(g_y), g_y, 0.0).sum(), -c, c)
+        return logE - cfg.lr_logE * g_logE, y - cfg.lr_y * g_y
     g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
     g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
     return logE - cfg.lr_logE * g_logE, y - cfg.lr_y * g_y

@@ -157,13 +157,18 @@ def _pair_bc(y16, z16):
     return jnp.concatenate(blocks, axis=0)
 
 
-def _p2g_kernel(tile_ref, first_ref, live_ref, torg_ref, q_ref, sig_ref,
-                out_ref, *, S, g, dx, inv_dx, dt):
+def _p2g_kernel(tile_ref, first_ref, live_ref, q_ref, sig_ref,
+                out_ref, *, S, g, dx, inv_dx, dt, nt):
     c = pl.program_id(0)
     dtype = q_ref.dtype
-    tx = torg_ref[c, 0].astype(dtype)
-    ty = torg_ref[c, 1].astype(dtype)
-    tz = torg_ref[c, 2].astype(dtype)
+    # tile origin from the 1-D tile id: a 2-D (NCHUNK, 3) scalar-prefetch
+    # operand gets its minor dim padded to 128 SMEM lanes, which overflows
+    # the 1 MB SMEM at n_grid=100 (nchunk 3157 -> 1.6 MB); the scalar
+    # div/mod here costs nothing
+    t = tile_ref[c]
+    tx = ((t // (nt * nt)) * T_TILE).astype(dtype)
+    ty = (((t // nt) % nt) * T_TILE).astype(dtype)
+    tz = ((t % nt) * T_TILE).astype(dtype)
 
     # dead chunks (slack for the occupied-tile cap) skip all work;
     # their windows were already written by their tile's live chunks
@@ -251,29 +256,23 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
     """
     S = tc.S
     nchunk = ts.chunk_tile.shape[0]
-    nt = tc.nt
-    torg = jnp.stack([
-        (ts.chunk_tile // (nt * nt)) * T_TILE,
-        ((ts.chunk_tile // nt) % nt) * T_TILE,
-        (ts.chunk_tile % nt) * T_TILE,
-    ], axis=-1).astype(jnp.int32)  # (NCHUNK, 3)
 
     kernel = functools.partial(
         _p2g_kernel, S=S, g=float(tc.n_grid), dx=float(grid.dx),
-        inv_dx=float(grid.inv_dx), dt=float(dt),
+        inv_dx=float(grid.inv_dx), dt=float(dt), nt=tc.nt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((QROWS, S), lambda c, t, f, lv, o: (0, c),
+            pl.BlockSpec((QROWS, S), lambda c, t, f, lv: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, S), lambda c, t, f, lv, o: (0, c),
+            pl.BlockSpec((16, S), lambda c, t, f, lv: (0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 8 * 4 * T_TILE, T_TILE * T_TILE),
-            lambda c, t, f, lv, o: (t[c], 0, 0),
+            lambda c, t, f, lv: (t[c], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -284,20 +283,23 @@ def p2g_tiled_pallas(ts: TiledState, sig, grid: GridConfig, tc: TileConfig,
         ),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(ts.chunk_tile, ts.chunk_first, ts.chunk_live, torg, ts.q, sig)
+    )(ts.chunk_tile, ts.chunk_first, ts.chunk_live, ts.q, sig)
 
     # zero windows of unoccupied tiles (their blocks are never written)
     occupied = jnp.zeros((tc.ntiles,), bool).at[ts.chunk_tile].set(True)
     return jnp.where(occupied[:, None, None], windows, 0.0)
 
 
-def _g2p_kernel(tile_ref, live_ref, torg_ref, q_ref, ext_ref, out_ref,
-                *, S, g, inv_dx, dt):
+def _g2p_kernel(tile_ref, live_ref, q_ref, ext_ref, out_ref,
+                *, S, g, inv_dx, dt, nt):
     c = pl.program_id(0)
     dtype = q_ref.dtype
-    tx = torg_ref[c, 0].astype(dtype)
-    ty = torg_ref[c, 1].astype(dtype)
-    tz = torg_ref[c, 2].astype(dtype)
+    # origin from the 1-D tile id (see _p2g_kernel: a 2-D torg operand
+    # would be lane-padded in SMEM and overflow it at n_grid=100)
+    t = tile_ref[c]
+    tx = ((t // (nt * nt)) * T_TILE).astype(dtype)
+    ty = (((t // nt) % nt) * T_TILE).astype(dtype)
+    tz = ((t % nt) * T_TILE).astype(dtype)
 
     @pl.when(live_ref[c] != 1)
     def _():
@@ -375,28 +377,22 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
     """q (QROWS,NP) + octant grid (ntiles, 192, 64) -> new q (QROWS,NP)."""
     S = tc.S
     nchunk = ts.chunk_tile.shape[0]
-    nt = tc.nt
-    torg = jnp.stack([
-        (ts.chunk_tile // (nt * nt)) * T_TILE,
-        ((ts.chunk_tile // nt) % nt) * T_TILE,
-        (ts.chunk_tile % nt) * T_TILE,
-    ], axis=-1).astype(jnp.int32)
 
     kernel = functools.partial(
         _g2p_kernel, S=S, g=float(tc.n_grid), inv_dx=float(grid.inv_dx),
-        dt=float(dt),
+        dt=float(dt), nt=tc.nt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((QROWS, S), lambda c, t, lv, o: (0, c),
+            pl.BlockSpec((QROWS, S), lambda c, t, lv: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8 * 3 * T_TILE, T_TILE * T_TILE),
-                         lambda c, t, lv, o: (t[c], 0, 0),
+                         lambda c, t, lv: (t[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QROWS, S), lambda c, t, lv, o: (0, c),
+        out_specs=pl.BlockSpec((QROWS, S), lambda c, t, lv: (0, c),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -404,4 +400,4 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
         out_shape=jax.ShapeDtypeStruct((QROWS, ts.q.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(ts.chunk_tile, ts.chunk_live, torg, ts.q, ext)
+    )(ts.chunk_tile, ts.chunk_live, ts.q, ext)

@@ -141,3 +141,23 @@ def test_tiled_occ_overflow_reports_not_ok():
         cfg.substep_dt, impl="ref", tc=tc,
     )
     assert not bool(ok)
+
+
+def test_tiled_100grid_matches_soa():
+    """The reference's 100-cube scenes (mic/chair/udon, configs n_grid=100)
+    exercise nt = ceil(100/8) = 13 tiles/axis — far beyond the nt=2 cases
+    above — plus a non-multiple-of-T_TILE grid edge (104 padded cells)."""
+    cfg, state, model, bcs, grid = _setup(n=768, g=100, seed=5)
+    # cluster particles so occupied tiles stay under the default cap
+    x = 0.9 + 0.4 * (np.asarray(state.x) - np.asarray(state.x).min(0)) / 2.0
+    state = dataclasses.replace(state, x=jnp.asarray(x.astype(np.float32)))
+    tc = default_tile_config(grid.n_grid, int(state.mass.shape[0]))
+    assert tc.nt > 6, tc.nt
+    n_sub = 8
+    ref = _run_soa(state, model, bcs, grid, cfg.substep_dt, n_sub)
+    out, _, ok = run_substeps_tiled(
+        soa_from_state(state), model, bcs, jnp.float32(0.0), n_sub, grid,
+        cfg.substep_dt, impl="ref",
+    )
+    assert bool(ok)
+    _assert_close(state_from_soa(out), ref)
