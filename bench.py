@@ -71,6 +71,11 @@ def bench_mpm(cfg, state, model, bcs, grid, substeps_per_frame, n_frames):
         tc = default_tile_config(cfg.n_grid, int(state.mass.shape[0]))
         soa_tpl = soa_from_state(state)
 
+        # soa_tpl/model stay CLOSURE constants here: XLA DCEs the unused
+        # template planes so the executable stays small, and passing the
+        # ~55-leaf pytrees as per-dispatch args costs ~2 s/frame in tunnel
+        # argument overhead (measured).  The renderer is the opposite case
+        # (see bench_render).
         @jax.jit
         def frame(ts, t):
             ts, soa, t = frame_tiled(
@@ -130,8 +135,13 @@ def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
     opacity = scene.get_opacity().reshape(-1)
     features = scene.get_features()
 
+    # opacity/features are traced ARGS, not closure constants: closed over,
+    # the ~48 MB of SH coefficients get constant-folded into the serialized
+    # executable (measured 178 MB), making each compile AND each
+    # persistent-cache load minutes-slow over the tunnel; as 2 argument
+    # leaves they cost nothing per dispatch
     @jax.jit
-    def frame(xyz_g, cov_g):
+    def frame(xyz_g, cov_g, opacity, features):
         xyz_w, cov_w = grid2world(
             xyz_g, cov_g, scaling, pos_center, cfg.grid_extent
         )
@@ -145,11 +155,11 @@ def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
     # (scripts/tpu_timing.py)
     n_rep = max(n_frames, 8)
     xs = [state.x * (1.0 + 1e-6 * (i + 1)) for i in range(n_rep)]
-    img = frame(xs[0], state.cov)
+    img = frame(xs[0], state.cov, opacity, features)
     jax.block_until_ready(img)
     t0 = time.perf_counter()
     for i in range(n_rep):
-        img = frame(xs[i], state.cov)
+        img = frame(xs[i], state.cov, opacity, features)
     np.asarray(img.ravel()[0])  # host-forced completion of the last frame
     dt_wall = time.perf_counter() - t0
     mpix = camera.width * camera.height * n_rep / 1e6

@@ -172,8 +172,12 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
             cov6_g, R = postprocess(st, rotate_sh=mpm.rotate_sh)
             return ts, dataclasses.replace(st, cov=cov6_g), time_, R
 
+    # opacity/features are traced ARGS, not closure constants: closed-over
+    # arrays are embedded in the serialized executable, which balloons it
+    # (~50 MB of SH coefficients at 245k gaussians) and makes both the
+    # compile and every persistent-cache load minutes-slow over the tunnel
     @jax.jit
-    def render_frame(xyz_g, cov_g, R):
+    def render_frame(xyz_g, cov_g, R, opacity, features):
         # inverse transforms back to world space (parity main.py:139-146)
         w_xyz, w_cov = grid2world(xyz_g, cov_g, scaling, pos_center, mpm.grid_extent)
         w_xyz = apply_inverse_rotations(w_xyz, mats)
@@ -208,7 +212,7 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
             if not quiet:
                 print(f"resumed from checkpoint at frame {fid0}")
 
-    img, n_dropped = render_frame(state.x, state.cov, None)
+    img, n_dropped = render_frame(state.x, state.cov, None, opacity, features)
     if int(n_dropped):
         print(f"WARNING: frame {start_frame - 1}: {int(n_dropped)} candidates "
               "over the rasterizer caps were dropped (raise k_tile/k_block)")
@@ -233,7 +237,7 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
                     use_tiled = False  # overflow mid-frame: redo on XLA
         if not use_tiled:
             state, t_sim, R = sim_frame(state, model, t_sim)
-        img, n_dropped = render_frame(state.x, state.cov, R)
+        img, n_dropped = render_frame(state.x, state.cov, R, opacity, features)
         img.block_until_ready()
         if int(n_dropped):
             print(f"WARNING: frame {fid}: {int(n_dropped)} candidates over "

@@ -52,9 +52,15 @@ class RasterConfig(NamedTuple):
     # dup-sort selection caps (pallas path): depth-first truncation per
     # fine-tile / coarse-tile / global candidate stream.  Their sum K is the
     # per-block candidate capacity; keep it a multiple of 128 (lane-aligned
-    # (nblocks, K) layouts reshape for free)
-    k_tile: int = 768
-    k_coarse: int = 256
+    # (nblocks, K) layouts reshape for free).  Selection+gather cost is
+    # linear in K (~4.5 us per K unit at 800x800 on v5e —
+    # scripts/sweep_render3.py); 512/128/128 sits at the measured
+    # quality knee (vs a K=2816 golden render on a worst-case dense scene,
+    # shrinking k_tile below 512 is what degrades PSNR, while k_coarse
+    # 256->128 left the image bit-identical).  Raise k_tile for dense
+    # scenes when render_with_aux reports a large n_dropped.
+    k_tile: int = 512
+    k_coarse: int = 128
     k_global: int = 128
     sel: str = "auto"  # legacy v1 selection knob (tests only)
 

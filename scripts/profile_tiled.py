@@ -1,6 +1,11 @@
 """Stage-level timing of the tiled Pallas MPM substep on the real TPU."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gsmpm_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 import dataclasses
 import jax, jax.numpy as jnp, numpy as np
@@ -17,12 +22,12 @@ from gsmpm_tpu.sim.tiles import (
 from gsmpm_tpu.sim.pallas_mpm import g2p_tiled_pallas, p2g_tiled_pallas
 
 
-def timeit(fn, *args, n=30, label=""):
-    out = fn(*args); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n): out = fn(*args)
-    jax.block_until_ready(out)
-    print(f"{label:36s} {(time.perf_counter()-t0)/n*1e3:8.3f} ms", flush=True)
+from tpu_timing import timeit as _timeit
+
+
+def timeit(fn, *args, n=16, label=""):
+    # dedup-proof (axon caches identical dispatches — scripts/tpu_timing.py)
+    dt, out = _timeit(fn, *args, n=n, label=label)
     return out
 
 

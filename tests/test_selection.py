@@ -119,7 +119,8 @@ def test_dupsort_selection_matches_topk():
 def test_pallas_dup_image_matches_xla():
     means, cov6, opacity, colors, camera = _scene(n=800, seed=5, big=8)
     bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
-    base = dict(block=64, k_block=1024, k_row=2048, chunk=32)
+    base = dict(block=64, k_block=1024, k_row=2048, chunk=32,
+                k_tile=768, k_coarse=256, k_global=128)
     img_x = render(means, cov6, opacity, None, camera, bg,
                    cfg=RasterConfig(**base, impl="xla"),
                    colors_precomp=colors)
@@ -189,7 +190,10 @@ def test_dupsort_v2_image_matches_xla():
         n=800, seed=5, big=8
     )
     bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
-    base = dict(block=64, k_block=1024, k_row=2048, chunk=32)
+    # caps pinned drop-free for this scene (the shipped defaults trade
+    # worst-case capacity for throughput; exact-parity needs 0 dropped)
+    base = dict(block=64, k_block=1024, k_row=2048, chunk=32,
+                k_tile=768, k_coarse=256, k_global=128)
     img_x = render(means, cov6, opacity, None, camera, bg,
                    cfg=RasterConfig(**base, impl="xla"),
                    colors_precomp=colors)
