@@ -1,14 +1,21 @@
-"""Benchmark: MPM substeps/s/chip + splat Mpix/s/chip on lego_elastic scale.
+"""Benchmark: MPM substeps/s, splat Mpix/s, and system-ID fit_frame seconds.
 
-Workload shape follows BASELINE.md (the reference publishes no numbers, so
-the baseline is self-measured): ~240k particles, 50^3 grid, 100 substeps per
-frame, fixed-corotated jelly; rendering at 800x800 with ~240k gaussians.
+Workload shapes follow BASELINE.md (the reference publishes no numbers, so
+the baseline is self-measured):
+- forward MPM: ~240k particles, 50^3 grid (and a secondary 100^3 run), 100
+  substeps/frame, fixed-corotated jelly;
+- splat: 800x800, ~240k gaussians;
+- fit_frame: one differentiable system-ID step (30 fwd substeps + render +
+  full backward + SGD) at 240k gaussians / 512^2 — the unit the reference
+  runs 300x19 times (/root/reference/extra.py:61-64).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-vs_baseline is measured-value / recorded-baseline from BENCH_BASELINE.json if
-present (written after the first real-TPU run), else 1.0.
+vs_baseline compares against BENCH_BASELINE.json, which the first real-TPU
+run writes (all metrics); later runs report per-metric ratios in
+extra.vs_baseline_per_metric (>1 is better for every metric; fit is
+inverted since lower seconds is better).
 """
 
 from __future__ import annotations
@@ -166,6 +173,83 @@ def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
     return mpix / dt_wall, img
 
 
+def bench_fit(n_particles: int, res: int, substeps: int, n_reps: int):
+    """One system-ID fit_frame at reference scale: forward `substeps`
+    differentiable substeps + render + full backward + SGD (VERDICT r2
+    item 2 — the reference workload is 300 iters x 19 frames of exactly
+    this step at ~240k gaussians / 512^2 / 30 substeps,
+    /root/reference/extra.py:61-64,206-234).  Returns seconds per fit_frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gsmpm_tpu.config import MPMConfig
+    from gsmpm_tpu.models.synthetic import synthetic_blob_scene
+    from gsmpm_tpu.render.camera import make_camera
+    from gsmpm_tpu.render.renderer import RasterConfig
+    from gsmpm_tpu.sim.fitting import FitConfig, SystemIdentifier
+
+    scene = synthetic_blob_scene(n=n_particles, radius=0.4,
+                                 center=(0.0, 0.8, 0.0))
+    cfg = MPMConfig(
+        material="jelly", E=1e4, nu=0.3, n_grid=50, grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0], fitting=True,
+    )
+    init_v = jnp.tile(jnp.asarray([0.0, -2.0, 0.0], jnp.float32)[None],
+                      (n_particles, 1))
+    ident = SystemIdentifier(
+        scene, cfg, init_velocity=init_v,
+        fit_cfg=FitConfig(substeps_per_frame=substeps),
+        raster_cfg=RasterConfig(), bg=jnp.ones(3),
+    )
+    center = np.asarray(scene.xyz.mean(0))
+    pos = center + np.array([0.0, 0.25, 3.0])
+    fwd = center - pos
+    fwd /= np.linalg.norm(fwd)
+    down = np.array([0.0, -1.0, 0.0])
+    yv = down - down.dot(fwd) * fwd
+    yv /= np.linalg.norm(yv)
+    cam = make_camera(res, res, 0.7, 0.7,
+                      np.column_stack([np.cross(yv, fwd), yv, fwd]), pos)
+    gt = ident.generate_ground_truth(3e3, 0.3, [cam], 2)[1]
+
+    state = ident.reset_state()
+    t = jnp.float32(0.0)
+    loss, state, t, img = ident.fit_frame(state, t, cam, gt)  # compile+warmup
+    jax.block_until_ready(img)
+    assert np.isfinite(float(loss)), "fit bench produced non-finite loss"
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        loss, state, t, img = ident.fit_frame(state, t, cam, gt)
+    np.asarray(img.ravel()[0])  # host-forced completion
+    dt_wall = time.perf_counter() - t0
+    assert np.isfinite(float(loss)), "fit bench diverged"
+    return dt_wall / n_reps
+
+
+def _load_baseline():
+    if not os.path.exists("BENCH_BASELINE.json"):
+        return None
+    try:
+        with open("BENCH_BASELINE.json") as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _maybe_write_baseline(metrics: dict):
+    """First real-TPU run records the baseline all later runs compare to
+    (VERDICT r2 item 8 — vs_baseline must be real, regressions visible)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    with open("BENCH_BASELINE.json", "w") as f:
+        json.dump({k: v for k, v in metrics.items() if v is not None},
+                  f, indent=1)
+    return True
+
+
 def main():
     from gsmpm_tpu.utils.cache import enable_compilation_cache
 
@@ -177,15 +261,23 @@ def main():
     ap.add_argument("--substeps", type=int, default=100)
     ap.add_argument("--sim_frames", type=int, default=3)
     ap.add_argument("--render_frames", type=int, default=3)
+    ap.add_argument("--fit_particles", type=int, default=245760)
+    ap.add_argument("--fit_res", type=int, default=512)
+    ap.add_argument("--fit_substeps", type=int, default=30)
+    ap.add_argument("--fit_frames", type=int, default=3)
     ap.add_argument("--small", action="store_true",
                     help="tiny CPU-friendly smoke-test sizes")
     ap.add_argument("--skip_100grid", action="store_true",
                     help="skip the secondary 100^3-grid MPM measurement")
+    ap.add_argument("--skip_fit", action="store_true",
+                    help="skip the system-ID fit_frame measurement")
     args = ap.parse_args()
     if args.small:
         args.particles, args.n_grid, args.res = 4096, 24, 128
         args.substeps, args.sim_frames, args.render_frames = 10, 2, 2
         args.skip_100grid = True
+        args.fit_particles, args.fit_res = 512, 64
+        args.fit_substeps, args.fit_frames = 5, 1
 
     (cfg, scene, state, model, bcs, grid, camera, scaling, pos_center) = (
         build_problem(args.particles, args.n_grid, args.res)
@@ -214,20 +306,44 @@ def main():
         except Exception as e:  # keep the primary metric alive
             print(f"(100-grid bench failed: {e!r})", flush=True)
 
-    baseline = None
-    if os.path.exists("BENCH_BASELINE.json"):
+    # system-ID training step at reference scale (VERDICT r2 item 2)
+    fit_frame_s = None
+    if not args.skip_fit:
         try:
-            with open("BENCH_BASELINE.json") as f:
-                baseline = json.load(f).get("mpm_substeps_per_s")
-        except Exception:
-            baseline = None
-    vs = substeps_per_s / baseline if baseline else 1.0
+            fit_frame_s = bench_fit(
+                args.fit_particles, args.fit_res, args.fit_substeps,
+                args.fit_frames,
+            )
+        except Exception as e:  # keep the primary metrics alive
+            print(f"(fit bench failed: {e!r})", flush=True)
 
+    metrics = {
+        "mpm_substeps_per_s": round(substeps_per_s, 2),
+        "splat_mpix_per_s": round(mpix_per_s, 2),
+        "mpm_substeps_per_s_100grid": (
+            round(substeps_per_s_100, 2)
+            if substeps_per_s_100 is not None else None
+        ),
+        "fit_frame_s": round(fit_frame_s, 3) if fit_frame_s else None,
+    }
+    baseline = _load_baseline()
+    wrote_baseline = False
+    if baseline is None and not args.small:
+        wrote_baseline = _maybe_write_baseline(metrics)
+
+    def ratio(key, higher_is_better=True):
+        if not baseline or baseline.get(key) in (None, 0) or \
+                metrics.get(key) is None:
+            return None
+        r = metrics[key] / baseline[key]
+        return round(r if higher_is_better else 1.0 / r, 3)
+
+    vs = ratio("mpm_substeps_per_s") or 1.0
     print(json.dumps({
         "metric": "mpm_substeps_per_s_per_chip",
         "value": round(substeps_per_s, 2),
         "unit": "substeps/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": vs,
         "extra": {
             "splat_mpix_per_s_per_chip": round(mpix_per_s, 2),
             "particles": args.particles,
@@ -237,6 +353,27 @@ def main():
             **(
                 {"mpm_substeps_per_s_100grid": round(substeps_per_s_100, 2)}
                 if substeps_per_s_100 is not None else {}
+            ),
+            **(
+                {
+                    "fit_frame_s": round(fit_frame_s, 3),
+                    # full reference system-ID workload
+                    # (300 iters x 19 frames, extra.py:61-64)
+                    "fit_ref_workload_h": round(
+                        300 * 19 * fit_frame_s / 3600.0, 2
+                    ),
+                }
+                if fit_frame_s is not None else {}
+            ),
+            **(
+                {"vs_baseline_per_metric": {
+                    "mpm": ratio("mpm_substeps_per_s"),
+                    "mpm_100grid": ratio("mpm_substeps_per_s_100grid"),
+                    "splat": ratio("splat_mpix_per_s"),
+                    "fit": ratio("fit_frame_s", higher_is_better=False),
+                }}
+                if baseline else
+                ({"baseline_recorded": True} if wrote_baseline else {})
             ),
         },
     }))

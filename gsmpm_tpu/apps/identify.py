@@ -121,10 +121,6 @@ def identify(args):
 
     rcfg = RasterConfig(block=64, k_block=min(512, scene.num_gaussians), chunk=64)
     bg = jnp.ones(3)  # parity extra.py:48 (white background)
-    ident = SystemIdentifier(
-        scene, mpm_cfg, init_velocity=init_v, raster_cfg=rcfg,
-        fit_cfg=FitConfig(tie_params=args.tie_params), bg=bg,
-    )
 
     dataset = None
     if args.data_path:
@@ -134,14 +130,45 @@ def identify(args):
             args.data_path, width=args.resolution, height=args.resolution,
             bg=np.asarray(bg),
         )
-        n_frames = min(args.frames, dataset.n_frames)
-        cameras = dataset.cameras
         print(
             f"Loaded observations: {dataset.n_frames} frames x "
             f"{dataset.n_cameras} cameras from {args.data_path}"
         )
         if dataset.physics:
             print(f"physical.json: {dataset.physics}")
+
+    # --- multi-device: shard the training step over a mesh (VERDICT r2 #1) --
+    # camera-DP (one camera per device, every frame trained against ALL
+    # observations, psum'd grads) when multi-camera data exists; otherwise
+    # the particle+pixel-row sharded fit step (parallel/sharded.py).
+    import jax
+
+    ndev = jax.device_count()
+    mesh_mode, mesh_obj, n_cam_dp = None, None, 0
+    if getattr(args, "mesh", "auto") != "none" and ndev > 1:
+        from gsmpm_tpu.parallel import make_mesh
+
+        if (dataset is not None and dataset.n_cameras >= 2
+                and not args.tie_params):
+            n_cam_dp = min(ndev, dataset.n_cameras)
+            mesh_obj = make_mesh((("cam", n_cam_dp),))
+            mesh_mode = "camdp"
+            print(f"mesh: camera-DP over {n_cam_dp} devices")
+        else:
+            tile = 2 if ndev % 2 == 0 else 1
+            mesh_obj = make_mesh((("data", ndev // tile), ("tile", tile)))
+            mesh_mode = "sharded"
+            print(f"mesh: data={ndev // tile} x tile={tile} sharded fit step")
+
+    ident = SystemIdentifier(
+        scene, mpm_cfg, init_velocity=init_v, raster_cfg=rcfg,
+        fit_cfg=FitConfig(tie_params=args.tie_params), bg=bg,
+        mesh=mesh_obj if mesh_mode == "sharded" else None,
+    )
+
+    if dataset is not None:
+        n_frames = min(args.frames, dataset.n_frames)
+        cameras = dataset.cameras
 
         def gt_for(fid, cam_id):
             return jnp.asarray(dataset.images[fid][cam_id])
@@ -174,6 +201,44 @@ def identify(args):
     if not args.no_appearance:
         tx, params, opt_state = ident.make_appearance_optimizer()
 
+    # camera-DP step (built lazily once scaling/pos_center exist)
+    dp_step = None
+
+    def fit_frame_camdp(state, t, fid):
+        nonlocal dp_step
+        import dataclasses as _dc
+
+        from gsmpm_tpu.parallel.sharded import (
+            make_camera_dp_fit_step, stack_cameras,
+        )
+        from gsmpm_tpu.sim.state import mu_lam_from_logE_y
+
+        fcfg = ident.fit_cfg
+        if dp_step is None:
+            dp_step = make_camera_dp_fit_step(
+                mesh_obj, ident.model, ident.bcs, ident.grid,
+                fcfg.frame_dt, fcfg.substeps_per_frame, bg,
+                ident.scene.get_opacity().reshape(-1),
+                ident.scene.get_features(), ident.scene.sh_degree,
+                jnp.asarray(ident.scaling), jnp.asarray(ident.pos_center),
+                mpm_cfg.grid_extent, raster_cfg=rcfg,
+                lr_logE=fcfg.lr_logE, lr_y=fcfg.lr_y,
+                grad_clip=fcfg.grad_clip, cam_axis="cam",
+                example_camera=cameras[0],
+            )
+        cams_b = stack_cameras([cameras[i] for i in range(n_cam_dp)])
+        gts = jnp.stack([gt_for(fid, i) for i in range(n_cam_dp)])
+        with mesh_obj:
+            loss, logE, y, state, t = dp_step(
+                ident.model.logE, ident.model.y, state, t, cams_b, gts,
+                ident.scene.get_opacity().reshape(-1),
+                ident.scene.get_features(),
+                jnp.asarray(ident.scaling), jnp.asarray(ident.pos_center),
+            )
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        ident.model = _dc.replace(ident.model, logE=logE, y=y, mu=mu, lam=lam)
+        return loss, state, t
+
     rng = random.Random(args.seed)
     for iteration in range(1, args.iters + 1):
         state = ident.reset_state()
@@ -194,6 +259,9 @@ def identify(args):
                 # the refreshed scene (the reference rebuilds the solver per
                 # iteration from current gaussians, extra.py:181-190)
                 state = ident.reset_state()
+                E, nu = ident.optimized_E, ident.optimized_nu
+            elif mesh_mode == "camdp":
+                loss, state, t = fit_frame_camdp(state, t, fid)
                 E, nu = ident.optimized_E, ident.optimized_nu
             else:
                 loss, state, t, _ = ident.fit_frame(
@@ -238,6 +306,10 @@ def main(argv=None):
                         "(summed gradient; converges orders of magnitude "
                         "faster than the reference's per-particle SGD on "
                         "single-material scenes)")
+    p.add_argument("--mesh", type=str, default="auto",
+                   help='"auto" | "none": multi-device fitting — camera-DP '
+                        "over observations when a multi-camera dataset is "
+                        "loaded, else the particle+tile sharded fit step")
     p.add_argument("--E_true", type=float, default=1e5)
     p.add_argument("--nu_true", type=float, default=0.3)
     p.add_argument("--E_init", type=float, default=2e6)

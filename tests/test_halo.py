@@ -136,3 +136,79 @@ def test_quantile_starts_degenerate_returns_none():
     # all particles in a 3-cell x-range: no valid 8-way slab split
     x = np.full((512,), 0.51, np.float32)
     assert quantile_slab_starts(x, 32, 2.0, 8) is None
+
+
+def test_neighbor_migration_forced_exchange():
+    """Force real emigrant traffic (VERDICT r2 item 5): a uniform +x drift
+    carries many particles across slab boundaries; the neighbor-only
+    ppermute migration must hand them to their new owners (otherwise the
+    next segment's drift check trips ok=False), and the result must match
+    BOTH the gathered-repartition mode and the single-device dense run."""
+    n, n_grid, substeps = 2048, 64, 40
+    rng = np.random.default_rng(1)
+    cfg = MPMConfig(
+        E=1e3, nu=0.3, material="jelly", n_grid=n_grid, grid_extent=2.0,
+        substep_dt=5e-4, density=300.0, gravity=[0.0, 0.0, 0.0],
+    )
+    ext = cfg.grid_extent
+    x = np.stack([
+        rng.uniform(0.1 * ext, 0.8 * ext, n),
+        rng.uniform(0.4 * ext, 0.6 * ext, n),
+        rng.uniform(0.4 * ext, 0.6 * ext, n),
+    ], axis=1).astype(np.float32)
+    v0 = np.tile(np.array([10.0, 0.0, 0.0], np.float32), (n, 1))
+    cov = np.tile(np.array([1e-4, 0, 0, 1e-4, 0, 1e-4], np.float32), (n, 1))
+    vol = particle_volume(jnp.asarray(x), n_grid, ext)
+    state = init_state(jnp.asarray(x), jnp.asarray(cov), vol, cfg,
+                       jnp.asarray(v0))
+    model = init_model(cfg, n)
+    grid = GridConfig(n_grid, ext)
+    bcs = BCSet()
+
+    devs = _devices()
+    nd = len(devs)
+    res = quantile_slab_starts(np.asarray(state.x[:, 0]), n_grid, ext, nd)
+    assert res is not None
+    starts, hc = res
+
+    want, _ = run_substeps(
+        state, model, bcs, jnp.float32(0.0), substeps, grid, cfg.substep_dt,
+        checkpoint_policy=None,
+    )
+    # the drift really crosses owners: count ownership changes
+    inv_dx = n_grid / ext
+    own0 = np.searchsorted(np.asarray(starts[1:-1]),
+                           (np.asarray(state.x[:, 0]) * inv_dx), side="right")
+    own1 = np.searchsorted(np.asarray(starts[1:-1]),
+                           (np.asarray(want.x[:, 0]) * inv_dx), side="right")
+    assert (own0 != own1).sum() > 100, "scene must force owner changes"
+
+    mesh = Mesh(np.array(devs), ("x",))
+    outs = {}
+    for mode in ("neighbor", "gathered"):
+        frame = jax.jit(make_halo_frame(
+            mesh, "x", bcs, grid, hc, cfg.substep_dt, substeps,
+            migrate_every=5, migration=mode,
+        ))
+        soa, aux, material, orig, ok0 = bootstrap_slots(
+            state, model, starts, grid, hc
+        )
+        assert bool(ok0)
+        with mesh:
+            soa, aux, material, orig, full, t, ok = frame(
+                soa, aux, material, orig, jnp.asarray(starts, jnp.int32),
+                model, jnp.float32(0.0),
+            )
+        assert bool(ok), f"{mode}: migration failed to keep particles owned"
+        outs[mode] = state_from_soa(original_view(full, n))
+
+    for mode in ("neighbor", "gathered"):
+        np.testing.assert_allclose(
+            np.asarray(outs[mode].x), np.asarray(want.x),
+            rtol=2e-4, atol=2e-5, err_msg=mode,
+        )
+    # the two migration modes agree with each other to roundoff
+    np.testing.assert_allclose(
+        np.asarray(outs["neighbor"].x), np.asarray(outs["gathered"].x),
+        rtol=1e-5, atol=1e-6,
+    )

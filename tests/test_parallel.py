@@ -157,7 +157,7 @@ def test_sharded_fit_step_matches_single_device():
         extras["opacity"], extras["features"], scene.sh_degree,
         scaling, pos_center, cfg.grid_extent,
     )
-    loss, logE, y, out_state, t, img = step(
+    loss, logE, y, out_state, t, img, n_drop = step(
         p_model.logE, p_model.y, p_state, jnp.float32(0.0), gt
     )
 
