@@ -215,7 +215,13 @@ def bench_fit(n_particles: int, res: int, substeps: int, n_reps: int):
 
     state = ident.reset_state()
     t = jnp.float32(0.0)
-    loss, state, t, img = ident.fit_frame(state, t, cam, gt)  # compile+warmup
+    # warm up until the identifier's cap auto-bump settles (a dense 512^2
+    # scene can overflow the default k_tile; timing must not include the
+    # bump's recompile)
+    for _ in range(3):
+        loss, state, t, img = ident.fit_frame(state, t, cam, gt)
+        if ident._frame_fn is not None:  # no rebuild pending
+            break
     jax.block_until_ready(img)
     assert np.isfinite(float(loss)), "fit bench produced non-finite loss"
     t0 = time.perf_counter()

@@ -254,3 +254,70 @@ def test_camera_dp_fit_step_matches_mean_of_singles():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_y),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_fit_step_tie_params_matches_single():
+    """Tied-scalar mode through the sharded step == sgd_learn's tied update
+    on single device: the summed gradient psums across particle shards."""
+    from gsmpm_tpu.ops.losses import photometric_loss
+    from gsmpm_tpu.render.renderer import render as render_full
+    from gsmpm_tpu.sim.coupling import mat_from_upper, upper_from_mat
+    from gsmpm_tpu.sim.fitting import FitConfig, sgd_learn
+    from gsmpm_tpu.sim.state import mu_lam_from_logE_y
+
+    cfg, state, model, _, grid = small_setup(fitting=True)
+    bcs = BCSet(grid_ops=(StickyGroundBC(),))
+    scene = synthetic_box_scene(n=N_PART)
+    cam = make_camera(64, 64, 0.9, 0.9, np.eye(3), np.array([0.0, 0.0, -2.5]))
+    bg = jnp.ones(3)
+    opac = scene.get_opacity().reshape(-1)
+    feats = scene.get_features()
+    scaling, pos_center = jnp.float32(0.8), jnp.zeros(3)
+    dt = cfg.frame_dt / N_SUB
+    gt = jnp.zeros((64, 64, 3), jnp.float32)
+
+    def frame_loss(logE, y, state, t):
+        mu, lam = mu_lam_from_logE_y(logE, y)
+        m = dataclasses.replace(model, logE=logE, y=y, mu=mu, lam=lam)
+        st, t = run_substeps(
+            state, m, bcs, t, N_SUB, grid, dt, fitting=True,
+            checkpoint_policy="substep",
+        )
+        F = st.F
+        cov6 = upper_from_mat(
+            F @ mat_from_upper(st.init_cov) @ jnp.swapaxes(F, -1, -2)
+        )
+        xyz_w, cov_w = grid2world(st.x, cov6, scaling, pos_center,
+                                  cfg.grid_extent)
+        img = render_full(
+            xyz_w, cov_w, opac, feats, cam, bg, scene.sh_degree,
+            RasterConfig(),
+        )
+        return photometric_loss(img, gt)
+
+    (g_E, g_y) = jax.grad(frame_loss, argnums=(0, 1))(
+        model.logE, model.y, state, jnp.float32(0.0)
+    )
+    ref_logE, ref_y = sgd_learn(
+        model.logE, model.y, g_E, g_y, FitConfig(tie_params=True)
+    )
+
+    mesh = make_mesh((("data", 4), ("tile", 2)))
+    p_state, p_model, extras, n = pad_particles(
+        state, model, 4, {"opacity": opac, "features": feats}
+    )
+    step = make_sharded_fit_step(
+        mesh, p_state, p_model, bcs, grid, cfg.frame_dt, N_SUB, cam, bg,
+        extras["opacity"], extras["features"], scene.sh_degree,
+        scaling, pos_center, cfg.grid_extent, tie_params=True,
+    )
+    loss, logE, y, out_state, t, img, n_drop = step(
+        p_model.logE, p_model.y, p_state, jnp.float32(0.0), gt
+    )
+    np.testing.assert_allclose(
+        np.asarray(logE[:n]), np.asarray(ref_logE), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(y[:n]), np.asarray(ref_y), rtol=1e-4, atol=1e-6
+    )
+    assert float(jnp.ptp(logE)) < 1e-6  # stays a scalar pair
