@@ -122,6 +122,10 @@ def _pixel_monomials(B, P):
     )
 
 
+# HIGHEST: Mosaic supports only DEFAULT/HIGHEST dot precisions (HIGH =
+# bf16x3 raises NotImplementedError in the kernel lowering); DEFAULT
+# (single bf16 pass) loses ~3 decimal digits on the power term, beyond the
+# f32 tolerance the XLA-parity tests assert.
 _MM = functools.partial(
     jax.lax.dot_general,
     preferred_element_type=jnp.float32,
@@ -417,3 +421,301 @@ def blend_blocks_pallas(cand_raw, counts, origins, bg, cfg):
 
     rgb = out[:, 0:3, :] + out[:, 3:4, :] * bg[None, :, None]
     return rgb.reshape(nblocks, 3, B, B).transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# packed-stream variant
+# ---------------------------------------------------------------------------
+#
+# The padded layout above provisions (nblocks, 16, K) candidate slots even
+# though the MEAN per-block candidate count is ~K/7 on real scenes
+# (scripts/profile_render.py: mean 107 vs K 768 at 245k/800^2) — the
+# candidate gather and the kernel's HBM->VMEM traffic pay for the padding.
+# Here candidates are stored COMPACTLY: block b owns the slice
+# [offs[b], offs[b] + ceil(count_b / C) * C) of one (16, T_cap) array
+# (offsets 128-aligned by construction), and the kernels walk their slice
+# with explicit async DMA from HBM at dynamic offsets — total traffic
+# tracks the real candidate total, not nblocks*K.
+
+
+def _build_F_packed(cand_raw, x0, y0, B):
+    """(10, T) packed planes + per-slot block origins (T,) -> (16, T) F."""
+    gx = cand_raw[CGX] - x0
+    gy = cand_raw[CGY] - y0
+    a = cand_raw[CA]
+    b = cand_raw[CB]
+    c = cand_raw[CC]
+    r = cand_raw[CRAD]
+    in_rect = (
+        (gx + r >= -0.5) & (gx - r <= B - 0.5)
+        & (gy + r >= -0.5) & (gy - r <= B - 0.5)
+    )
+    logo = jnp.where(in_rect, cand_raw[CLOGO], -1e30)
+    zeros = jnp.zeros_like(gx)
+    rows = [
+        -0.5 * a,
+        a * gx + b * gy,
+        -0.5 * (a * gx * gx + c * gy * gy) - b * gx * gy,
+        -0.5 * c,
+        c * gy + b * gx,
+        -b,
+        logo,
+        zeros,
+        cand_raw[CR],
+        cand_raw[CG],
+        cand_raw[CB_],
+        zeros, zeros, zeros, zeros, zeros,
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _blend_kernel_packed(counts_ref, offs_ref, F_ref, out_ref, *,
+                         C, B, P, t_min, alpha_min, n_chunks):
+    b = pl.program_id(0)
+    count = counts_ref[b]
+    off_c = offs_ref[b]  # CHUNK units: (off_c + c) * C is provably aligned
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
+
+    H = _pixel_monomials(B, P)
+    mm = _MM
+    dn0 = (((0,), (0,)), ((), ()))
+
+    out_ref[0] = jnp.concatenate(
+        [jnp.zeros((3, P), jnp.float32),
+         jnp.ones((1, P), jnp.float32),
+         jnp.zeros((4, P), jnp.float32)], axis=0
+    )
+
+    def cond(c):
+        T = out_ref[0, 3:4, :]
+        done = out_ref[0, 4:5, :] > 0
+        return (c < n_live) & jnp.any(jnp.logical_not(done) & (T >= t_min))
+
+    def body(c):
+        T = out_ref[0, 3:4, :]
+        done = out_ref[0, 4:5, :] > 0
+        # full packed F stays VMEM-resident across the grid (constant
+        # index_map); (off_c + c) * C is provably 128-aligned
+        F = F_ref[:, pl.ds((off_c + c) * C, C)]  # (16, C)
+        power = mm(F, H, dimension_numbers=dn0)
+        lgo = F[6:7, :].reshape(C, 1)
+        alpha = jnp.minimum(0.99, jnp.exp(power))
+        alpha = jnp.where((power <= lgo) & (alpha >= alpha_min), alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cp = one_minus
+        s = 1
+        while s < C:
+            cp = cp * jnp.concatenate(
+                [jnp.ones((s, P), jnp.float32), cp[: C - s]], axis=0
+            )
+            s *= 2
+        excl = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), cp[:-1]], axis=0
+        )
+        T_before = T * excl
+        T_after = T_before * one_minus
+        contrib = jnp.logical_not(done) & (T_after >= t_min)
+        w = jnp.where(contrib, T_before * alpha, 0.0)
+
+        dn1 = (((1,), (0,)), ((), ()))
+        out_ref[0, 0:3, :] += mm(F[8:11, :], w, dimension_numbers=dn1)
+
+        alpha_eff = jnp.where(contrib, alpha, 0.0)
+        out_ref[0, 3:4, :] = T * _tree_prod(1.0 - alpha_eff)
+        new_done = done | jnp.any(T_after < t_min, axis=0, keepdims=True)
+        out_ref[0, 4:5, :] = new_done.astype(jnp.float32)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + c * C + 1).astype(jnp.float32)
+        hit = jnp.where(contrib & (alpha > 0.0), gidx1, 0.0)
+        out_ref[0, 5:6, :] = jnp.maximum(
+            out_ref[0, 5:6, :], jnp.max(hit, axis=0, keepdims=True)
+        )
+        return c + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _blend_bwd_kernel_packed(counts_ref, offs_ref, F_ref, fwd_ref, g_ref,
+                             dF_ref, acc_ref, *,
+                             C, B, P, t_min, alpha_min, n_chunks):
+    b = pl.program_id(0)
+    count = counts_ref[b]
+    off_c = offs_ref[b]  # CHUNK units
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
+
+    H = _pixel_monomials(B, P)
+    mm = _MM
+    dn0 = (((0,), (0,)), ((), ()))
+    dnP = (((1,), (1,)), ((), ()))
+
+    g_rgb = g_ref[0, 0:3, :]
+    g_T = g_ref[0, 3:4, :]
+    T_fin = fwd_ref[0, 3:4, :]
+    last = fwd_ref[0, 5:6, :]
+
+    acc_ref[0:1, :] = T_fin
+    acc_ref[1:2, :] = T_fin * g_T
+
+    def body(k, _):
+        c = n_live - 1 - k
+        T_end = acc_ref[0:1, :]
+        R_end = acc_ref[1:2, :]
+        F = F_ref[:, pl.ds((off_c + c) * C, C)]
+        power = mm(F, H, dimension_numbers=dn0)
+        lgo = F[6:7, :].reshape(C, 1)
+        expp = jnp.exp(power)
+        alpha = jnp.minimum(0.99, expp)
+        gate0 = (power <= lgo) & (alpha >= alpha_min)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + c * C + 1).astype(jnp.float32)
+        contrib = gate0 & (gidx1 <= last)
+        a_eff = jnp.where(contrib, alpha, 0.0)
+        one_minus = 1.0 - a_eff
+
+        prodc = _tree_prod(one_minus)
+        T_start = T_end / prodc
+        cp = one_minus
+        s = 1
+        while s < C:
+            cp = cp * jnp.concatenate(
+                [jnp.ones((s, P), jnp.float32), cp[: C - s]], axis=0
+            )
+            s *= 2
+        excl = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), cp[:-1]], axis=0
+        )
+        T_before = T_start * excl
+        w = T_before * a_eff
+
+        cdot = mm(F[8:11, :], g_rgb, dimension_numbers=dn0)
+        v = w * cdot
+        suf = v
+        s = 1
+        while s < C:
+            suf = suf + jnp.concatenate(
+                [suf[s:], jnp.zeros((s, P), jnp.float32)], axis=0
+            )
+            s *= 2
+        S = R_end + (suf - v)
+
+        dA = T_before * cdot - S / one_minus
+        dP_ = jnp.where(contrib & (expp < 0.99), dA * alpha, 0.0)
+
+        dFq = mm(H, dP_, dimension_numbers=dnP)
+        dFc = mm(g_rgb, w, dimension_numbers=dnP)
+        dF_ref[:, pl.ds((off_c + c) * C, C)] = jnp.concatenate(
+            [dFq[0:8], dFq[8:11] + dFc, dFq[11:]], axis=0
+        )
+
+        acc_ref[0:1, :] = T_start
+        acc_ref[1:2, :] = R_end + jnp.sum(v, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_live, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _blend_core_packed(counts, offs, F, meta):
+    """(counts (nb,), offs (nb,), F (16, T)) -> out (nb, 8, P).
+
+    offs are 128-aligned slot offsets into the packed stream; slots in
+    [offs[b] + count_b, offs[b] + aligned(count_b)) must carry
+    log_opa = -inf (the caller masks them).
+    """
+    C, B, P, t_min, alpha_min, n_chunks = meta
+    nblocks = counts.shape[0]
+    kernel = functools.partial(
+        _blend_kernel_packed, C=C, B=B, P=P, t_min=t_min,
+        alpha_min=alpha_min, n_chunks=n_chunks,
+    )
+    T = F.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((16, T), lambda b, cnt, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, P), lambda b, cnt, off: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks, 8, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts.astype(jnp.int32), (offs // C).astype(jnp.int32), F)
+
+
+def _blend_core_packed_fwd(counts, offs, F, meta):
+    out = _blend_core_packed(counts, offs, F, meta)
+    return out, (counts, offs, F, out)
+
+
+def _blend_core_packed_bwd(meta, res, g):
+    counts, offs, F, out = res
+    C, B, P, t_min, alpha_min, n_chunks = meta
+    nblocks = counts.shape[0]
+    T = F.shape[1]
+    kernel = functools.partial(
+        _blend_bwd_kernel_packed, C=C, B=B, P=P, t_min=t_min,
+        alpha_min=alpha_min, n_chunks=n_chunks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((16, T), lambda b, cnt, off: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, cnt, off: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda b, cnt, off: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, T), lambda b, cnt, off: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, P), jnp.float32),
+        ],
+    )
+    dF = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((16, T), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts.astype(jnp.int32), (offs // C).astype(jnp.int32), F, out, g)
+    # slots no block ever walked (beyond the last aligned segment, or in
+    # blocks dropped for capacity) are never DMA'd: mask them to zero
+    aligned = ((counts.astype(jnp.int32) + C - 1) // C) * C
+    slot = jnp.arange(T, dtype=jnp.int32)
+    b = jnp.clip(
+        jnp.searchsorted(offs.astype(jnp.int32), slot, side="right") - 1,
+        0, nblocks - 1,
+    )
+    walked = (slot >= offs[b]) & (slot < offs[b] + aligned[b])
+    dF = jnp.where(walked[None, :], dF, 0.0)
+    d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    d_offs = np.zeros(offs.shape, dtype=jax.dtypes.float0)
+    return d_counts, d_offs, dF
+
+
+_blend_core_packed.defvjp(_blend_core_packed_fwd, _blend_core_packed_bwd)
+
+
+def blend_packed_pallas(cand_packed, slot_x0, slot_y0, counts, offs, bg, cfg):
+    """Packed-stream blend: cand_packed (10, T) raw planes in per-block
+    depth order (invalid slots carry log_opa = -inf via the caller's mask),
+    slot_x0/slot_y0 (T,) per-slot block origins, counts/offs (nb,) with
+    offs 128-aligned -> (nb, B, B, 3) blended blocks."""
+    B = cfg.block
+    P = B * B
+    C, n_chunks, _ = _blend_meta(
+        cfg.k_tile + cfg.k_coarse + cfg.k_global, cfg
+    )
+    F = _build_F_packed(cand_packed, slot_x0, slot_y0, B)
+    meta = (C, B, P, float(cfg.t_min), float(cfg.alpha_min), n_chunks)
+    out = _blend_core_packed(counts, offs, F, meta)
+    rgb = out[:, 0:3, :] + out[:, 3:4, :] * bg[None, :, None]
+    nb = counts.shape[0]
+    return rgb.reshape(nb, 3, B, B).transpose(0, 2, 3, 1)

@@ -63,6 +63,18 @@ class RasterConfig(NamedTuple):
     k_coarse: int = 128
     k_global: int = 128
     sel: str = "auto"  # legacy v1 selection knob (tests only)
+    # packed-stream blend (pallas path, EXPERIMENTAL — off by default):
+    # candidates stored compactly at 128-aligned per-block offsets instead
+    # of (nblocks, K) padding, so the candidate gather and kernel VMEM
+    # residency track the REAL candidate total (mean count ~K/7 on bench
+    # scenes).  Measured on v5e (r3): parity with the padded layout at
+    # t_cap=32768 (8.3 vs 8.2 ms at 245k/800^2) but run-to-run unstable
+    # (up to 15 ms) — the per-slot mapping + t_cap-wide ops eat the gather
+    # savings; kept as a tested option for bigger-K scenes where padding
+    # waste grows.  t_cap bounds the packed stream; overflow drops whole
+    # tail blocks and is counted in n_dropped.
+    packed: bool = False
+    t_cap: int = 32768
 
 
 class Preprocessed(NamedTuple):
@@ -806,15 +818,69 @@ def _render_pallas_fwd_impl(pre: Preprocessed, camera, bg,
     """Pallas path forward: v2 dup-sort selection + gather + MXU blend.
 
     Returns (image, n_dropped).  No depth argsort: selection v2 carries the
-    quantized depth inside its sort keys.
+    quantized depth inside its sort keys.  cfg.packed selects the
+    packed-stream layout (candidate gather + kernel DMA proportional to the
+    real candidate total instead of nblocks*K).
     """
-    from gsmpm_tpu.render.pallas_blend import blend_blocks_pallas
-
     gidx, counts, origins, dropped = _select_candidates_dupsort_v2(
         pre, camera, cfg
     )
+    if cfg.packed:
+        return _render_pallas_packed(
+            pre, gidx, counts, origins, dropped, bg, camera, cfg
+        )
+    from gsmpm_tpu.render.pallas_blend import blend_blocks_pallas
+
     cand_raw = _gather_candidates(pre, gidx, counts)
     blocks = blend_blocks_pallas(cand_raw, counts, origins, bg, cfg)
+    return assemble_blocks(blocks, camera, cfg), dropped
+
+
+def _render_pallas_packed(pre: Preprocessed, gidx, counts, origins, dropped,
+                          bg, camera, cfg: RasterConfig):
+    """Pack the merged per-block candidate lists into one compact stream.
+
+    Block b owns slots [offs[b], offs[b] + ceil(count_b/C)*C); offsets are
+    C-aligned (C is the blend chunk, a multiple of 128) so the kernels'
+    dynamic-offset DMAs stay lane-aligned.  The packed candidate gather is
+    T_cap indices instead of nblocks*K (~4.5x smaller at the bench scene's
+    mean count of ~107/768)."""
+    from gsmpm_tpu.render.pallas_blend import _blend_meta, blend_packed_pallas
+
+    nb, K = gidx.shape
+    C, n_chunks, _ = _blend_meta(
+        cfg.k_tile + cfg.k_coarse + cfg.k_global, cfg
+    )
+    t_cap = min(cfg.t_cap, nb * n_chunks * C)
+    t_cap = -(-t_cap // C) * C
+    counts_c = jnp.minimum(counts, K)
+    aligned = ((counts_c + C - 1) // C) * C
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
+    )[:-1]
+    fits = offs + aligned <= t_cap
+    counts_eff = jnp.where(fits, counts_c, 0)
+    dropped = dropped + jnp.sum(jnp.where(fits, 0, counts_c))
+
+    # slot -> block map WITHOUT searchsorted/row-gathers (both lower to
+    # per-needle row addressing, ~8.5 ms at t_cap=65536 measured): scatter
+    # one marker per block start, cumsum, then only 1-D lane gathers
+    p = jnp.arange(t_cap, dtype=jnp.int32)
+    mark = jnp.zeros((t_cap + 1,), jnp.int32).at[
+        jnp.minimum(offs, t_cap)].add(1, mode="drop")[:t_cap]
+    b = jnp.clip(jnp.cumsum(mark) - 1, 0, nb - 1)
+    j = p - offs[b]
+    live = (j >= 0) & (j < counts_eff[b])
+    src = b * K + jnp.clip(j, 0, K - 1)
+    pg = jnp.where(live, gidx.reshape(-1)[src], 0)
+
+    planes = _raw_planes_nosentinel(pre)
+    cand = planes[:, pg]  # (10, t_cap)
+    logo = jnp.where(live, cand[5], -1e30)
+    cand = jnp.concatenate([cand[:5], logo[None], cand[6:]], axis=0)
+    x0 = origins[:, 0].astype(jnp.float32)[b]
+    y0 = origins[:, 1].astype(jnp.float32)[b]
+    blocks = blend_packed_pallas(cand, x0, y0, counts_eff, offs, bg, cfg)
     return assemble_blocks(blocks, camera, cfg), dropped
 
 

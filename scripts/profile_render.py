@@ -36,6 +36,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_topk", action="store_true")
+    ap.add_argument("--v2_stages", action="store_true",
+                    help="time the dup-sort v2 selection sub-stages")
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
@@ -77,6 +79,99 @@ def main():
     print(f"  dropped: {int(dropped)}")
     print(f"  dup counts: max={int(np.max(np.asarray(counts)))} "
           f"mean={float(np.mean(np.asarray(counts))):.0f}")
+
+    if args.v2_stages:
+        # fine-grained sub-stages of _select_candidates_dupsort_v2
+        from gsmpm_tpu.render.renderer import (
+            _COARSE, _depth_bits, _tile_interval, block_origins,
+        )
+
+        B = rcfg.block
+        origins, nbx, nby = block_origins(camera, rcfg)
+        N = 245760
+        n4 = 4 * N
+        ncx, ncy = -(-nbx // _COARSE), -(-nby // _COARSE)
+        nf, nc = nbx * nby, ncx * ncy
+        gid = nf + nc
+        ntt = nf + nc + 1
+        db = _depth_bits(ntt)
+        M = jnp.int32(1 << db)
+        sent = jnp.int32(2 ** 31 - 1)
+
+        def build_keys(p):
+            dq = jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(
+                    jnp.maximum(p.depth, rcfg.z_near), jnp.int32), 31 - db)
+            fx0, fx1, offx = _tile_interval(p.pix_x, p.radius, B, nbx)
+            fy0, fy1, offy = _tile_interval(p.pix_y, p.radius, B, nby)
+            valid = p.valid & ~(offx | offy)
+            spx, spy = fx1 - fx0, fy1 - fy0
+            lvl0 = valid & (spx <= 1) & (spy <= 1)
+            cx0, cx1 = fx0 // _COARSE, fx1 // _COARSE
+            cy0, cy1 = fy0 // _COARSE, fy1 // _COARSE
+            cspx, cspy = cx1 - cx0, cy1 - cy0
+            lvl1 = valid & ~lvl0 & (cspx <= 1) & (cspy <= 1)
+            lvl2 = valid & ~lvl0 & ~lvl1
+            keys = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ft = (fy0 + dy) * nbx + (fx0 + dx)
+                    fok = lvl0 & (dx <= spx) & (dy <= spy)
+                    ct = nf + (cy0 + dy) * ncx + (cx0 + dx)
+                    cok = lvl1 & (dx <= cspx) & (dy <= cspy)
+                    gok = lvl2 & (dx == 0) & (dy == 0)
+                    tile = jnp.where(fok, ft, jnp.where(cok, ct, gid))
+                    ok = fok | cok | gok
+                    keys.append(jnp.where(ok, tile * M + dq, sent))
+            return jnp.concatenate(keys)
+
+        _, keys = timeit(jax.jit(build_keys), pre, n=n, label="v2: key build")
+        pays = jnp.tile(jnp.arange(N, dtype=jnp.int32), 4)
+        sort_fn2 = jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1))
+        _, (skeys, spay) = timeit(sort_fn2, keys, pays,
+                                  label="v2: (2,4N) pair sort", n=n)
+        bounds_fn = jax.jit(lambda sk: jnp.searchsorted(
+            sk, jnp.arange(ntt + 1, dtype=jnp.int32) * M).astype(jnp.int32))
+        _, bounds = timeit(bounds_fn, skeys, n=n, label="v2: bounds")
+
+        st = jnp.stack([skeys, spay])
+        k0 = min(rcfg.k_tile, N)
+        k1 = min(rcfg.k_coarse, N)
+        k2 = min(rcfg.k_global, N)
+        bx = jnp.arange(nbx, dtype=jnp.int32)
+        by = jnp.arange(nby, dtype=jnp.int32)
+        t_f = (by[:, None] * nbx + bx[None, :]).reshape(-1)
+        parent = ((by[:, None] // _COARSE) * ncx
+                  + (bx[None, :] // _COARSE)).reshape(-1)
+
+        def windows_all(st, bounds):
+            def windows(tile_ids, k):
+                s = bounds[tile_ids]
+                e = bounds[tile_ids + 1]
+                w = s[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+                wf = jnp.minimum(w, n4 - 1).reshape(-1)
+                kk = st[:, wf].reshape(2, *w.shape)
+                live = w < e[:, None]
+                dqw = jnp.where(live, kk[0] & (M - 1), sent)
+                gw = jnp.where(live, kk[1], 0)
+                return dqw, gw
+
+            dq_f, g_f = windows(t_f, k0)
+            dq_c_all, g_c_all = windows(
+                nf + jnp.arange(nc, dtype=jnp.int32), k1
+            )
+            dq_c, g_c = dq_c_all[parent], g_c_all[parent]
+            dq_g, g_g = windows(jnp.full((1,), gid, jnp.int32), k2)
+            dq_g = jnp.broadcast_to(dq_g, (nf, k2))
+            g_g = jnp.broadcast_to(g_g, (nf, k2))
+            return (jnp.concatenate([dq_f, dq_c, dq_g], axis=1),
+                    jnp.concatenate([g_f, g_c, g_g], axis=1))
+
+        _, (dq_all, g_all) = timeit(jax.jit(windows_all), st, bounds,
+                                    n=n, label="v2: windows+concat")
+        merge_fn = jax.jit(
+            lambda d, g: jax.lax.sort((d, g), num_keys=1, dimension=1))
+        timeit(merge_fn, dq_all, g_all, n=n, label="v2: merge row-sort")
 
     if not args.skip_topk:
         sel_fn = jax.jit(lambda p, o: _select_candidates(p, o, camera, rcfg))

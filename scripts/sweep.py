@@ -93,7 +93,8 @@ def cmd_render(args):
         cands = [("default", {})]
     fns = {}
     for name, kw in cands:
-        rcfg = RasterConfig(impl=args.impl, **kw)
+        rcfg = RasterConfig(impl=args.impl, packed=not args.unpacked,
+                            t_cap=args.t_cap, **kw)
         fns[name] = jax.jit(
             lambda x, c, _r=rcfg: render_with_aux(
                 x, c, opacity, features, camera, bg, scene.sh_degree, _r
@@ -243,6 +244,9 @@ def main():
     r.add_argument("--configs", default="512/128/128;640/128/128;768/256/128",
                    help='";"-separated k_tile/k_coarse/k_global triples')
     r.add_argument("--passes", type=int, default=3)
+    r.add_argument("--unpacked", action="store_true",
+                   help="use the padded (nblocks, K) blend layout")
+    r.add_argument("--t_cap", type=int, default=65536)
     r.add_argument("--n", type=int, default=8)
     r.set_defaults(fn=cmd_render)
     gth = sub.add_parser("gather")

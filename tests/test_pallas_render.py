@@ -148,3 +148,43 @@ def test_blend_pad_columns_contribute_zero():
     a, b = np.asarray(out48), np.asarray(out32)
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_stream_matches_padded():
+    """The experimental packed-stream blend (RasterConfig.packed=True) is
+    bit-identical to the padded (nblocks, K) layout, forward and backward
+    (same selection, same blend math — only the storage layout differs)."""
+    import jax
+
+    from gsmpm_tpu.models.synthetic import synthetic_box_scene
+    from gsmpm_tpu.render.camera import make_camera
+    from gsmpm_tpu.render.renderer import RasterConfig, render_with_aux
+
+    scene = synthetic_box_scene(n=256, lo=(-0.4, -0.4, 0.2),
+                                hi=(0.4, 0.4, 1.0))
+    cam = make_camera(64, 64, 0.9, 0.9, np.eye(3),
+                      np.array([0.0, 0.0, -2.5]))
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    cov6 = scene.get_covariance()
+    opac = scene.get_opacity().reshape(-1)
+    feats = scene.get_features()
+
+    def cfgp(packed):
+        return RasterConfig(block=16, k_tile=128, k_coarse=64, k_global=64,
+                            chunk=32, impl="pallas", packed=packed)
+
+    img_p, d_p = render_with_aux(scene.xyz, cov6, opac, feats, cam, bg,
+                                 scene.sh_degree, cfgp(True))
+    img_u, d_u = render_with_aux(scene.xyz, cov6, opac, feats, cam, bg,
+                                 scene.sh_degree, cfgp(False))
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_u))
+    assert int(d_p) == int(d_u)
+
+    def loss(xyz, packed):
+        img, _ = render_with_aux(xyz, cov6, opac, feats, cam, bg,
+                                 scene.sh_degree, cfgp(packed))
+        return jnp.sum(img ** 2)
+
+    g_p = jax.grad(loss)(scene.xyz, True)
+    g_u = jax.grad(loss)(scene.xyz, False)
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
