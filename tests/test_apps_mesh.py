@@ -182,3 +182,67 @@ def test_mesh_engine_halo_fallback_to_psum(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_state.cov), np.asarray(cov6), rtol=1e-3, atol=1e-5
     )
+
+
+def test_identify_app_camera_dp(tmp_path, capsys):
+    """apps/identify.py --data_path with a 2-camera observation set on a
+    multi-device mesh routes through the camera-DP fit step (one camera
+    per device, psum'd grads) and trains: loss finite, E moves."""
+    import argparse
+    import json
+    import os
+
+    from tests.test_dataset import _camera_files, _write_png
+
+    from gsmpm_tpu.apps import identify as identify_mod
+    from gsmpm_tpu.models.synthetic import synthetic_blob_scene
+    from gsmpm_tpu.render.renderer import RasterConfig
+    from gsmpm_tpu.sim.fitting import FitConfig, SystemIdentifier
+
+    res, n, n_frames = 48, 128, 3
+    defs, cams = _camera_files(res, [(0.0, 0.8, 3.0), (3.0, 0.8, 0.0)])
+    scene = synthetic_blob_scene(n=n, radius=0.4, center=(0.0, 0.8, 0.0))
+    init_v = jnp.tile(jnp.asarray([0.0, -2.0, 0.0], jnp.float32)[None],
+                      (n, 1))
+    mpm_cfg = MPMConfig(
+        material="jelly", E=1e4, nu=0.4, n_grid=50, grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0], fitting=True,
+    )
+    gen = SystemIdentifier(
+        scene, mpm_cfg, init_velocity=init_v,
+        fit_cfg=FitConfig(substeps_per_frame=30),
+        raster_cfg=RasterConfig(block=32, k_block=n, chunk=32, impl="xla"),
+        bg=jnp.ones(3),
+    )
+    with open(tmp_path / "camera.json", "w") as f:
+        json.dump(defs, f)
+    for ci, d in enumerate(defs):
+        gt = gen.generate_ground_truth(3e3, 0.3, [cams[ci]], n_frames)
+        os.makedirs(tmp_path / d["camera"], exist_ok=True)
+        for fid in range(n_frames):
+            _write_png(tmp_path / d["camera"] / f"{fid:03d}.png",
+                       np.asarray(gt[fid]))
+
+    p = argparse.ArgumentParser()
+    for name, default in (
+        ("--scene", "torus"), ("--output_path", str(tmp_path / "out")),
+        ("--data_path", str(tmp_path)), ("--mesh", "auto"),
+    ):
+        p.add_argument(name, default=default)
+    p.add_argument("--synthetic", type=int, default=n)
+    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--frames", type=int, default=n_frames)
+    p.add_argument("--resolution", type=int, default=res)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_appearance", action="store_true", default=True)
+    p.add_argument("--tie_params", action="store_true", default=False)
+    p.add_argument("--E_true", type=float, default=3e3)
+    p.add_argument("--nu_true", type=float, default=0.3)
+    p.add_argument("--E_init", type=float, default=1e4)
+    p.add_argument("--nu_init", type=float, default=0.4)
+    args = p.parse_args([])
+
+    ident = identify_mod.identify(args)
+    out = capsys.readouterr().out
+    assert "camera-DP over 2 devices" in out, out[-500:]
+    assert np.isfinite(ident.optimized_E)
