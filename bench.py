@@ -159,18 +159,23 @@ def bench_render(scene, state, camera, scaling, pos_center, cfg, n_frames):
     # distinct input buffers per dispatch: the axon tunnel deduplicates
     # identical dispatches (same executable + args return a cached result),
     # so a repeat-same-args loop measures dispatch overhead, not rendering
-    # (scripts/tpu_timing.py)
+    # (scripts/tpu_timing.py).  Best of 3 groups: the shared tunnel shows
+    # transient ~3x slow windows (observed 25 vs 67 Mpix/s on identical
+    # executables minutes apart); a single mean would record the throttle,
+    # not the renderer.
     n_rep = max(n_frames, 8)
-    xs = [state.x * (1.0 + 1e-6 * (i + 1)) for i in range(n_rep)]
+    xs = [state.x * (1.0 + 1e-6 * (i + 1)) for i in range(3 * n_rep)]
     img = frame(xs[0], state.cov, opacity, features)
     jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        img = frame(xs[i], state.cov, opacity, features)
-    np.asarray(img.ravel()[0])  # host-forced completion of the last frame
-    dt_wall = time.perf_counter() - t0
+    best = 0.0
     mpix = camera.width * camera.height * n_rep / 1e6
-    return mpix / dt_wall, img
+    for g in range(3):
+        t0 = time.perf_counter()
+        for i in range(g * n_rep, (g + 1) * n_rep):
+            img = frame(xs[i], state.cov, opacity, features)
+        np.asarray(img.ravel()[0])  # host-forced completion
+        best = max(best, mpix / (time.perf_counter() - t0))
+    return best, img
 
 
 def bench_fit(n_particles: int, res: int, substeps: int, n_reps: int):
