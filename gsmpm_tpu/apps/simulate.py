@@ -258,15 +258,35 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
     start_frame = 1
 
     # full-state resume (state + material model + sim clock; SURVEY.md §5 —
-    # capability the reference lacks, its PLY dumps are view-only)
+    # capability the reference lacks, its PLY dumps are view-only).
+    # Checkpoints always hold the UNPADDED particle set: a run written with
+    # --mesh data=N stays resumable under --mesh none or any other N
+    # (the padding multiple is a launch-time detail, not sim state).
+    n_padded = int(state.x.shape[0])
+
+    def _strip_pad(tree):
+        return jax.tree.map(
+            lambda l: l[:n_unpadded]
+            if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == n_padded
+            else l,
+            tree,
+        )
+
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     if resume:
         from gsmpm_tpu.io.checkpoint import latest_step, restore_checkpoint
 
         if latest_step(ckpt_dir) is not None:
-            (state, model, t_sim), fid0, extra = restore_checkpoint(
-                ckpt_dir, (state, model, t_sim)
+            st_tpl, md_tpl = _strip_pad((state, model))
+            (state_u, model_u, t_sim), fid0, extra = restore_checkpoint(
+                ckpt_dir, (st_tpl, md_tpl, t_sim)
             )
+            if use_mesh:
+                from gsmpm_tpu.parallel import pad_particles as _pp
+
+                state, model, _, _ = _pp(state_u, model_u, ndata)
+            else:
+                state, model = state_u, model_u
             start_frame = fid0 + 1
             if not quiet:
                 print(f"resumed from checkpoint at frame {fid0}")
@@ -317,8 +337,9 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         if checkpoint_interval and fid % checkpoint_interval == 0:
             from gsmpm_tpu.io.checkpoint import save_checkpoint
 
+            st_u, md_u = _strip_pad((state, model))
             save_checkpoint(
-                ckpt_dir, fid, (state, model, t_sim), extra={"frame": fid}
+                ckpt_dir, fid, (st_u, md_u, t_sim), extra={"frame": fid}
             )
 
         if cfg.render.save_pcd and fid % cfg.render.save_pcd_interval == 0:

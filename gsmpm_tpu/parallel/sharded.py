@@ -383,6 +383,7 @@ def make_camera_dp_fit_step(
     grad_clip: float = 1.0,
     cam_axis: str = "cam",
     example_camera: Optional[Camera] = None,
+    tie_params: bool = False,
 ):
     """Data-parallel system-ID step over a batch of cameras/observations.
 
@@ -394,7 +395,16 @@ def make_camera_dp_fit_step(
 
     jit fn(logE, y, state, t, view_b (B,4,4), proj_b (B,4,4),
            campos_b (B,3), gts (B,H,W,3)) ->
-        (loss, new_logE, new_y, new_state, new_t)
+        (loss, new_logE, new_y, new_state, new_t, n_dropped)
+
+    n_dropped is the total rasterizer-cap overflow across the camera batch
+    (psum over devices) — nonzero means the gradients were computed against
+    truncated images (the CUDA reference is uncapped); callers resize the
+    caps and re-run like sim/fitting.py does.
+
+    tie_params=True applies the scalar-pair update of sim/fitting.py's
+    sgd_learn: gradients summed over particles AND cameras, clipped as a
+    scalar, shared delta.
 
     (Camera static fields come from example_camera; pass the batch's array
     fields separately so the shard_map specs need no Camera treedef.)
@@ -428,35 +438,52 @@ def make_camera_dp_fit_step(
             xyz_w, cov_w = grid2world(
                 state.x, cov6, scaling, pos_center, grid_extent
             )
-            from gsmpm_tpu.render.renderer import render
+            from gsmpm_tpu.render.renderer import render_with_aux
 
-            img = render(
+            img, n_dropped = render_with_aux(
                 xyz_w, cov_w, opacity, features, camera, bg, sh_degree,
                 raster_cfg,
             )
             # mean over the camera batch: psum of per-device means / B
             loss = jax.lax.psum(photometric_loss(img, gt), cam_axis) / nb
-            return loss, (state, t)
+            return loss, (state, t, n_dropped)
 
-        (loss, (state, t)), (g_logE, g_y) = jax.value_and_grad(
+        (loss, (state, t, n_dropped)), (g_logE, g_y) = jax.value_and_grad(
             frame_loss, argnums=(0, 1), has_aux=True
         )(logE, y, state, t)
+        n_dropped = jax.lax.psum(n_dropped, cam_axis)
         # each device's backward only carries its own camera's term of the
         # psum'd loss: reduce so the SGD update is identical on every
         # replica of logE/y
         g_logE = jax.lax.psum(g_logE, cam_axis)
         g_y = jax.lax.psum(g_y, cam_axis)
         c = grad_clip
-        g_logE = jnp.where(jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0)
-        g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
-        return loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t
+        if tie_params:
+            # particles are replicated in camera-DP, so the scalar-pair sum
+            # is a plain local sum after the cam-axis psum
+            g_logE = jnp.broadcast_to(
+                jnp.clip(jnp.where(jnp.isfinite(g_logE), g_logE, 0.0).sum(),
+                         -c, c),
+                g_logE.shape,
+            )
+            g_y = jnp.broadcast_to(
+                jnp.clip(jnp.where(jnp.isfinite(g_y), g_y, 0.0).sum(), -c, c),
+                g_y.shape,
+            )
+        else:
+            g_logE = jnp.where(
+                jnp.isfinite(g_logE), jnp.clip(g_logE, -c, c), 0.0
+            )
+            g_y = jnp.where(jnp.isfinite(g_y), jnp.clip(g_y, -c, c), 0.0)
+        return (loss, logE - lr_logE * g_logE, y - lr_y * g_y, state, t,
+                n_dropped)
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(cam_axis), P(cam_axis),
                   P(cam_axis), P(cam_axis), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 

@@ -626,6 +626,93 @@ def _depth_bits(ntt: int) -> int:
     return 31 - int(ntt + 1).bit_length()
 
 
+def _dup_levels(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
+    """Level/tile assignment shared by dup-sort selection and cap sizing.
+
+    Each valid gaussian lands in exactly ONE stream — fine B-px tiles when
+    its screen rect spans <= 2x2 of them, coarse 4B-px tiles when <= 2x2 of
+    those, else the single global bucket — and emits up to 4 tiles of that
+    stream (the (dy, dx) corners of its rect).  Returns the per-gaussian
+    level masks plus the tile-grid geometry consumed by _dup_tile.
+    """
+    B = cfg.block
+    origins, nbx, nby = block_origins(camera, cfg)
+    ncx, ncy = -(-nbx // _COARSE), -(-nby // _COARSE)
+    nf = nbx * nby
+    nc = ncx * ncy
+
+    fx0, fx1, offx = _tile_interval(pre.pix_x, pre.radius, B, nbx)
+    fy0, fy1, offy = _tile_interval(pre.pix_y, pre.radius, B, nby)
+    valid = pre.valid & ~(offx | offy)
+    spx, spy = fx1 - fx0, fy1 - fy0
+    lvl0 = valid & (spx <= 1) & (spy <= 1)
+    cx0, cx1 = fx0 // _COARSE, fx1 // _COARSE
+    cy0, cy1 = fy0 // _COARSE, fy1 // _COARSE
+    cspx, cspy = cx1 - cx0, cy1 - cy0
+    lvl1 = valid & ~lvl0 & (cspx <= 1) & (cspy <= 1)
+    lvl2 = valid & ~lvl0 & ~lvl1
+    return dict(
+        fx0=fx0, fy0=fy0, spx=spx, spy=spy, cx0=cx0, cy0=cy0,
+        cspx=cspx, cspy=cspy, lvl0=lvl0, lvl1=lvl1, lvl2=lvl2,
+        nf=nf, nc=nc, ncx=ncx, gid=nf + nc,
+        origins=origins, nbx=nbx, nby=nby,
+    )
+
+
+def _dup_tile(lv: dict, dx: int, dy: int):
+    """(tile_id, ok) for duplication corner (dy, dx) of every gaussian."""
+    ft = (lv["fy0"] + dy) * lv["nbx"] + (lv["fx0"] + dx)
+    fok = lv["lvl0"] & (dx <= lv["spx"]) & (dy <= lv["spy"])
+    ct = lv["nf"] + (lv["cy0"] + dy) * lv["ncx"] + (lv["cx0"] + dx)
+    cok = lv["lvl1"] & (dx <= lv["cspx"]) & (dy <= lv["cspy"])
+    gok = lv["lvl2"] & (dx == 0) & (dy == 0)
+    tile = jnp.where(fok, ft, jnp.where(cok, ct, lv["gid"]))
+    return tile, fok | cok | gok
+
+
+def required_raster_caps(
+    means3d: jnp.ndarray,
+    cov6: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    cfg: RasterConfig = RasterConfig(),
+) -> dict:
+    """Measured per-stream candidate maxima of this geometry: the cap values
+    at which render_with_aux reports n_dropped == 0 on BOTH implementations.
+
+    The CUDA rasterizer this path replaces has no caps — every gaussian
+    touching a tile is blended, forward and backward
+    (/root/reference/main.py:148-156, extra.py:271-304) — so callers that
+    need drop-free parity (the fitting path, whose gradients are biased by
+    any truncation) size the static caps from a measured frame with this
+    helper instead of doubling blindly.  Selection is geometry-only, so no
+    SH/color evaluation runs.
+
+    Returns {"k_tile", "k_coarse", "k_global", "k_row", "k_block"} ints.
+    """
+    zeros3 = jnp.zeros((means3d.shape[0], 3), jnp.float32)
+    pre = preprocess(
+        means3d, cov6, opacity, None, camera, 0, cfg, colors_precomp=zeros3
+    )
+    lv = _dup_levels(pre, camera, cfg)
+    nf, nc, gid = lv["nf"], lv["nc"], lv["gid"]
+    hist = jnp.zeros((nf + nc + 1,), jnp.int32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            tile, ok = _dup_tile(lv, dx, dy)
+            hist = hist.at[jnp.where(ok, tile, 0)].add(
+                ok.astype(jnp.int32), mode="drop"
+            )
+    row_cnt, blk_cnt = _xla_stream_counts(pre, camera, cfg)
+    return {
+        "k_tile": int(jnp.max(hist[:nf])),
+        "k_coarse": int(jnp.max(hist[nf : nf + nc])) if nc else 0,
+        "k_global": int(hist[gid]),
+        "k_row": int(jnp.max(row_cnt)),
+        "k_block": int(jnp.max(blk_cnt)),
+    }
+
+
 def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
                                   cfg: RasterConfig):
     """Depth-in-key duplication-sort binning (round-2 redesign).
@@ -661,14 +748,11 @@ def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
     a non-zero n_dropped means the image may differ — VERDICT round 1
     weakness #3).
     """
-    B = cfg.block
-    origins, nbx, nby = block_origins(camera, cfg)
     n = pre.pix_x.shape[0]
     n4 = 4 * n
-    ncx, ncy = -(-nbx // _COARSE), -(-nby // _COARSE)
-    nf = nbx * nby
-    nc = ncx * ncy
-    gid = nf + nc  # global bucket tile id
+    lv = _dup_levels(pre, camera, cfg)
+    origins, nbx, nby = lv["origins"], lv["nbx"], lv["nby"]
+    nf, nc, ncx, gid = lv["nf"], lv["nc"], lv["ncx"], lv["gid"]
     ntt = nf + nc + 1
     db = _depth_bits(ntt)
     M = jnp.int32(1 << db)
@@ -682,28 +766,11 @@ def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
         31 - db,
     )
 
-    fx0, fx1, offx = _tile_interval(pre.pix_x, pre.radius, B, nbx)
-    fy0, fy1, offy = _tile_interval(pre.pix_y, pre.radius, B, nby)
-    valid = pre.valid & ~(offx | offy)
-    spx, spy = fx1 - fx0, fy1 - fy0
-    lvl0 = valid & (spx <= 1) & (spy <= 1)
-    cx0, cx1 = fx0 // _COARSE, fx1 // _COARSE
-    cy0, cy1 = fy0 // _COARSE, fy1 // _COARSE
-    cspx, cspy = cx1 - cx0, cy1 - cy0
-    lvl1 = valid & ~lvl0 & (cspx <= 1) & (cspy <= 1)
-    lvl2 = valid & ~lvl0 & ~lvl1
-
     gidx_row = jnp.arange(n, dtype=jnp.int32)
     keys = []
     for dy in (0, 1):
         for dx in (0, 1):
-            ft = (fy0 + dy) * nbx + (fx0 + dx)
-            fok = lvl0 & (dx <= spx) & (dy <= spy)
-            ct = nf + (cy0 + dy) * ncx + (cx0 + dx)
-            cok = lvl1 & (dx <= cspx) & (dy <= cspy)
-            gok = lvl2 & (dx == 0) & (dy == 0)
-            tile = jnp.where(fok, ft, jnp.where(cok, ct, gid))
-            ok = fok | cok | gok
+            tile, ok = _dup_tile(lv, dx, dy)
             keys.append(jnp.where(ok, tile * M + dq, sent))
     keys = jnp.concatenate(keys)
     pays = jnp.tile(gidx_row, 4)
@@ -963,13 +1030,11 @@ def _render_xla(means3d, cov6, opacity, shs, camera, bg, colors_precomp,
     return img, dropped
 
 
-def _xla_dropped_count(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
-    """Candidates beyond the XLA path's k_row/k_block caps (see render_with_aux)."""
+def _xla_stream_counts(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
+    """(row_cnt (nby,), blk_cnt (nby, nbx)) intersection counts of the XLA
+    path's two selection stages (row interval test, then block rect test)."""
     B = cfg.block
     _, nbx, nby = block_origins(camera, cfg)
-    n = pre.pix_x.shape[0]
-    k_row = min(cfg.k_row, n)
-    k_blk = min(cfg.k_block, k_row)
     y0s = jnp.arange(nby, dtype=jnp.float32)[:, None] * B
     inter_y = (
         (pre.pix_y[None, :] + pre.radius[None, :] >= y0s - 0.5)
@@ -977,7 +1042,6 @@ def _xla_dropped_count(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
         & pre.valid[None, :]
     )  # (nby, N)
     row_cnt = jnp.sum(inter_y, axis=1)
-    row_drop = jnp.sum(jnp.maximum(row_cnt - k_row, 0))
     x0s = jnp.arange(nbx, dtype=jnp.float32)[:, None] * B
     inter_x = (
         (pre.pix_x[None, :] + pre.radius[None, :] >= x0s - 0.5)
@@ -986,6 +1050,16 @@ def _xla_dropped_count(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
     blk_cnt = jnp.sum(
         inter_y[:, None, :] & inter_x[None, :, :], axis=2
     )  # (nby, nbx)
+    return row_cnt, blk_cnt
+
+
+def _xla_dropped_count(pre: Preprocessed, camera: Camera, cfg: RasterConfig):
+    """Candidates beyond the XLA path's k_row/k_block caps (see render_with_aux)."""
+    n = pre.pix_x.shape[0]
+    k_row = min(cfg.k_row, n)
+    k_blk = min(cfg.k_block, k_row)
+    row_cnt, blk_cnt = _xla_stream_counts(pre, camera, cfg)
+    row_drop = jnp.sum(jnp.maximum(row_cnt - k_row, 0))
     blk_drop = jnp.sum(jnp.maximum(blk_cnt - k_blk, 0))
     return (row_drop + blk_drop).astype(jnp.int32)
 

@@ -149,10 +149,13 @@ class SystemIdentifier:
         self._frame_fn = None
         # rasterizer-cap overflow accounting (the CUDA reference has no caps,
         # /root/reference/main.py:148-156, so any drop during FITTING biases
-        # gradients): fit_frame warns and auto-bumps k_tile (max twice)
+        # gradients): fit_frame measures the required per-stream caps at the
+        # dropped frame's geometry, rebuilds, and RE-RUNS the same frame so
+        # no biased gradient is ever applied (VERDICT r3 item 1)
         self.n_dropped_last = 0
         self._drop_warned = False
         self._k_bumps = 0
+        self._max_cap_rebuilds = 6
 
     # --- setup per optimization iteration (parity extra.py:177-190) ---
 
@@ -207,28 +210,87 @@ class SystemIdentifier:
             tie_params=fcfg.tie_params, rcfg=self.raster_cfg,
         )
 
-    def _fit_frame_sharded(self, state, t, camera: Camera, gt_image):
-        if getattr(self, "_sharded_fn", None) is None:
-            self._build_sharded_frame_fn(camera)
-        opacity, features = self._padded_appearance()
-        with self.mesh:
-            (loss, logE, y, state, t, img, n_dropped) = self._sharded_fn(
-                self.model.logE, self.model.y, state, t, gt_image, camera,
-                opacity, features, jnp.asarray(self.scaling),
-                jnp.asarray(self.pos_center),
+    def _world_geometry(self, state):
+        """(xyz_w, cov_w) of a post-substep state — the render geometry."""
+        F = state.F
+        cov6 = upper_from_mat(
+            F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+        )
+        return grid2world(
+            state.x, cov6, self.scaling, self.pos_center,
+            self.mpm_cfg.grid_extent,
+        )
+
+    def _measure_and_bump(self, state, camera: Camera) -> None:
+        """Resize the rasterizer caps from the measured per-stream maxima at
+        the dropped frame's end-of-frame geometry (the geometry the render
+        that overflowed actually saw), +25% headroom rounded to the 128-lane
+        multiple.  The measurement is exact for that frame, so the re-run is
+        drop-free; the headroom absorbs growth over later frames."""
+        from gsmpm_tpu.render.renderer import required_raster_caps
+
+        xyz_w, cov_w = self._world_geometry(state)
+        opacity, _ = self._padded_appearance()
+        need = required_raster_caps(xyz_w, cov_w, opacity, camera,
+                                    self.raster_cfg)
+
+        def up(cur, needed):
+            return max(cur, -(-int(needed * 1.25) // 128) * 128)
+
+        cfg = self.raster_cfg
+        new = cfg._replace(
+            k_tile=up(cfg.k_tile, need["k_tile"]),
+            k_coarse=up(cfg.k_coarse, need["k_coarse"]),
+            k_global=up(cfg.k_global, need["k_global"]),
+            k_row=up(cfg.k_row, need["k_row"]),
+            k_block=up(cfg.k_block, need["k_block"]),
+        )
+        if new == cfg:
+            # measured maxima already fit (the drop came from an earlier
+            # sub-frame pose or count-vs-cap rounding): double as fallback
+            new = cfg._replace(
+                k_tile=2 * cfg.k_tile, k_row=2 * cfg.k_row,
+                k_block=2 * cfg.k_block,
             )
-        self.n_dropped_last = int(n_dropped)
+        print(
+            "fitting: resizing rasterizer caps for a drop-free render "
+            f"(k_tile {cfg.k_tile}->{new.k_tile}, k_row {cfg.k_row}->"
+            f"{new.k_row}, k_block {cfg.k_block}->{new.k_block}); "
+            "re-running the frame"
+        )
+        self.raster_cfg = new
+        self._k_bumps += 1
+
+    def _fit_frame_sharded(self, state, t, camera: Camera, gt_image):
+        opacity, features = self._padded_appearance()
+        while True:
+            if getattr(self, "_sharded_fn", None) is None:
+                self._build_sharded_frame_fn(camera)
+            with self.mesh:
+                (loss, logE, y, state2, t2, img, n_dropped) = self._sharded_fn(
+                    self.model.logE, self.model.y, state, t, gt_image, camera,
+                    opacity, features, jnp.asarray(self.scaling),
+                    jnp.asarray(self.pos_center),
+                )
+            self.n_dropped_last = int(n_dropped)
+            if self.n_dropped_last == 0 or self._k_bumps >= self._max_cap_rebuilds:
+                break
+            # discard the biased update entirely; resize caps and re-run the
+            # SAME frame from the original (logE, y, state, t)
+            self._measure_and_bump(state2, camera)
+            self._sharded_fn = None
         if self.n_dropped_last and not self._drop_warned:
             print(
-                f"WARNING: fitting render dropped {self.n_dropped_last} "
-                "candidates over the rasterizer caps — raise k_row/k_block"
+                f"WARNING: fitting render still dropped {self.n_dropped_last} "
+                f"candidates after {self._k_bumps} cap rebuilds — gradients "
+                "are biased against a truncated image"
             )
             self._drop_warned = True
         mu, lam = mu_lam_from_logE_y(logE, y)
         self.model = dataclasses.replace(
             self.model, logE=logE, y=y, mu=mu, lam=lam
         )
-        return loss, state, t, img
+        return loss, state2, t2, img
 
     def _build_frame_fn(self):
         mpm, grid, fcfg = self.mpm_cfg, self.grid, self.fit_cfg
@@ -277,35 +339,33 @@ class SystemIdentifier:
         """
         if self.mesh is not None:
             return self._fit_frame_sharded(state, t, camera, gt_image)
-        if self._frame_fn is None:
-            self._build_frame_fn()
-        (loss, (state, t, img, n_dropped)), (g_logE, g_y) = self._frame_fn(
-            self.model.logE, self.model.y, state, t, camera, gt_image,
-            self.scaling, self.pos_center,
-            self.scene.get_opacity().reshape(-1), self.scene.get_features(),
-        )
-        self.n_dropped_last = int(n_dropped)
-        if self.n_dropped_last:
-            if not self._drop_warned:
-                print(
-                    f"WARNING: fitting render dropped {self.n_dropped_last} "
-                    "candidates over the rasterizer caps — gradients are "
-                    "biased against a truncated image (raising k_tile)"
-                )
-                self._drop_warned = True
-            if self._k_bumps < 2:
-                # rebuild with doubled depth-first cap; recompile is bounded
-                # to two bumps per run
-                self.raster_cfg = self.raster_cfg._replace(
-                    k_tile=2 * self.raster_cfg.k_tile,  # pallas path cap
-                    k_block=2 * self.raster_cfg.k_block,  # xla path cap
-                )
-                self._k_bumps += 1
-                self._frame_fn = None
+        while True:
+            if self._frame_fn is None:
+                self._build_frame_fn()
+            (loss, (state2, t2, img, n_dropped)), (g_logE, g_y) = self._frame_fn(
+                self.model.logE, self.model.y, state, t, camera, gt_image,
+                self.scaling, self.pos_center,
+                self.scene.get_opacity().reshape(-1), self.scene.get_features(),
+            )
+            self.n_dropped_last = int(n_dropped)
+            if self.n_dropped_last == 0 or self._k_bumps >= self._max_cap_rebuilds:
+                break
+            # drop-free or nothing: size the caps from the measured maxima at
+            # the overflowing geometry, rebuild, and re-run the SAME frame —
+            # the truncated gradient is never applied
+            self._measure_and_bump(state2, camera)
+            self._frame_fn = None
+        if self.n_dropped_last and not self._drop_warned:
+            print(
+                f"WARNING: fitting render still dropped {self.n_dropped_last} "
+                f"candidates after {self._k_bumps} cap rebuilds — gradients "
+                "are biased against a truncated image"
+            )
+            self._drop_warned = True
         logE, y = sgd_learn(self.model.logE, self.model.y, g_logE, g_y, self.fit_cfg)
         mu, lam = mu_lam_from_logE_y(logE, y)
         self.model = dataclasses.replace(self.model, logE=logE, y=y, mu=mu, lam=lam)
-        return loss, state, t, img
+        return loss, state2, t2, img
 
     # --- readout (parity extra.py:248-249) ---
 
@@ -339,49 +399,71 @@ class SystemIdentifier:
         mpm, grid, fcfg = self.mpm_cfg, self.grid, self.fit_cfg
         dt = fcfg.frame_dt / fcfg.substeps_per_frame
 
-        @jax.jit
-        def gt_frame(state, t, camera):
-            state, t = run_substeps(
-                state, model, self.bcs, t, fcfg.substeps_per_frame, grid, dt,
-                fitting=True, checkpoint_policy=None,
-            )
-            F = state.F
-            cov6 = upper_from_mat(
-                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
-            )
-            xyz_w, cov_w = grid2world(
-                state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
-            )
-            opac, feats = self._padded_appearance()
-            img = render(
-                xyz_w, cov_w, opac, feats,
-                camera, self.bg, self.scene.sh_degree, self.raster_cfg,
-            )
-            return state, t, img
+        def make_fns(rcfg):
+            @jax.jit
+            def gt_frame(state, t, camera):
+                state, t = run_substeps(
+                    state, model, self.bcs, t, fcfg.substeps_per_frame, grid,
+                    dt, fitting=True, checkpoint_policy=None,
+                )
+                F = state.F
+                cov6 = upper_from_mat(
+                    F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+                )
+                xyz_w, cov_w = grid2world(
+                    state.x, cov6, self.scaling, self.pos_center,
+                    mpm.grid_extent
+                )
+                opac, feats = self._padded_appearance()
+                img, nd = render_with_aux(
+                    xyz_w, cov_w, opac, feats,
+                    camera, self.bg, self.scene.sh_degree, rcfg,
+                )
+                return state, t, img, nd
 
-        @jax.jit
-        def render_now(state, camera):
-            F = state.F
-            cov6 = upper_from_mat(
-                F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
-            )
-            xyz_w, cov_w = grid2world(
-                state.x, cov6, self.scaling, self.pos_center, mpm.grid_extent
-            )
-            opac, feats = self._padded_appearance()
-            return render(
-                xyz_w, cov_w, opac, feats,
-                camera, self.bg, self.scene.sh_degree, self.raster_cfg,
-            )
+            @jax.jit
+            def render_now(state, camera):
+                F = state.F
+                cov6 = upper_from_mat(
+                    F @ mat_from_upper(state.init_cov) @ jnp.swapaxes(F, -1, -2)
+                )
+                xyz_w, cov_w = grid2world(
+                    state.x, cov6, self.scaling, self.pos_center,
+                    mpm.grid_extent
+                )
+                opac, feats = self._padded_appearance()
+                img, nd = render_with_aux(
+                    xyz_w, cov_w, opac, feats,
+                    camera, self.bg, self.scene.sh_degree, rcfg,
+                )
+                return img, nd
+
+            return gt_frame, render_now
 
         # frame 0 observes the initial configuration; frame f observes the
-        # state after f*substeps_per_frame substeps
-        frames = [render_now(state, cameras[0])]
-        t = jnp.float32(0.0)
-        for fid in range(1, n_frames):
-            cam = cameras[fid % len(cameras)]
-            state, t, img = gt_frame(state, t, cam)
-            frames.append(img)
+        # state after f*substeps_per_frame substeps.  GT must be drop-free
+        # too (the observations the fit targets are uncapped in the
+        # reference): on any overflow, resize caps and regenerate.
+        for _ in range(3):
+            gt_frame, render_now = make_fns(self.raster_cfg)
+            img0, nd = render_now(state, cameras[0])
+            frames = [img0]
+            total_dropped = int(nd)
+            st, t = state, jnp.float32(0.0)
+            for fid in range(1, n_frames):
+                cam = cameras[fid % len(cameras)]
+                st, t, img, nd = gt_frame(st, t, cam)
+                frames.append(img)
+                total_dropped += int(nd)
+            if total_dropped == 0 or self._k_bumps >= self._max_cap_rebuilds:
+                break
+            self._measure_and_bump(st, cameras[(n_frames - 1) % len(cameras)])
+            self._frame_fn = None
+        if total_dropped:
+            print(
+                f"WARNING: ground-truth render dropped {total_dropped} "
+                "candidates over the rasterizer caps"
+            )
         return frames
 
     # --- frame-0 appearance refinement (parity extra.py:198-203,308-316) ---

@@ -460,25 +460,169 @@ def g2p_chunk_ref(q, ext, tid, grid: GridConfig, tc: TileConfig, dt):
     return out
 
 
-def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt):
+def p2g_chunk_mm(q, sig, tid, grid: GridConfig, tc: TileConfig, dt):
+    """p2g_chunk_ref restructured as explicit matmuls over shared pair
+    tables (the MXU-shaped contraction order the Pallas kernel uses).
+
+    Grouping the 7 separable terms per momentum component by their x-basis
+    turns the window into
+        win_r = wx @ W1_r^T + (uxa*c_r0 + dwx*s_r0) @ ww^T
+    with W1_r a per-s-scaled combination of five (256, S) y/z pair tables
+    shared across components.  jnp.einsum's pairwise contraction of the
+    same math materializes (16, 16, S) intermediates per term (28 of them)
+    — measured 20 ms/substep vs this form's matmul-bound cost.  The
+    jax.grad transpose of a matmul is a matmul, which is why the
+    differentiable fitting path routes through this implementation.
+    """
+    torg = _tile_origin(tid, tc)
+    wx, dwx, uxa, _ = _axis_bases(q[RX + 0], torg[0], grid, tc)
+    wy, dwy, uya, _ = _axis_bases(q[RX + 1], torg[1], grid, tc)
+    wz, dwz, uza, _ = _axis_bases(q[RX + 2], torg[2], grid, tc)
+    m = q[RMASS]
+    vol = q[RVOL]
+    dx = grid.dx
+    S = q.shape[1]
+
+    def pair(a, b):  # (16,S),(16,S) -> (256_jk, S)
+        return (a[:, None, :] * b[None, :, :]).reshape(16 * 16, S)
+
+    ww = pair(wy, wz)
+    uw = pair(uya, wz)
+    wu = pair(wy, uza)
+    dw = pair(dwy, wz)
+    wd = pair(wy, dwz)
+
+    def mm(x16, w256):  # (16,S) @ (256,S)^T -> (16,256)
+        return jax.lax.dot_general(
+            x16, w256, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    win = [mm(wx, ww * m[None, :])]
+    for r in range(3):
+        c0 = m * dx * q[RC + 3 * r + 0]
+        c1 = m * dx * q[RC + 3 * r + 1]
+        c2 = m * dx * q[RC + 3 * r + 2]
+        s0 = -dt * vol * sig[3 * r + 0]
+        s1 = -dt * vol * sig[3 * r + 1]
+        s2 = -dt * vol * sig[3 * r + 2]
+        w1 = (ww * (m * q[RV + r])[None, :] + uw * c1[None, :]
+              + wu * c2[None, :] + dw * s1[None, :] + wd * s2[None, :])
+        x2 = uxa * c0[None, :] + dwx * s0[None, :]
+        win.append(mm(wx, w1) + mm(x2, ww))
+    w4 = jnp.stack(win).reshape(4, 16, 16, 16).reshape(
+        4, 2, T_TILE, 2, T_TILE, 2, T_TILE
+    )
+    return w4.transpose(1, 3, 5, 0, 2, 4, 6).reshape(
+        8 * 4 * T_TILE, T_TILE * T_TILE
+    )
+
+
+def g2p_chunk_mm(q, ext, tid, grid: GridConfig, tc: TileConfig, dt):
+    """g2p_chunk_ref restructured as matmuls + pair-table row reductions
+    (see p2g_chunk_mm).  Per velocity component r the three contractions
+        A_r = wx^T G_r,  B_r = dwx^T G_r,  U_r = uxa^T G_r   ((S, 256))
+    feed every output: v_r = <A_r, ww>, grad = (<B_r, ww>, <A_r, dw>,
+    <A_r, wd>), C_r = 4 inv_dx (<U_r, ww>, <A_r, uw>, <A_r, wu>), with
+    <X, P> the per-row dot against a (256, S) pair table."""
+    torg = _tile_origin(tid, tc)
+    wx, dwx, uxa, _ = _axis_bases(q[RX + 0], torg[0], grid, tc)
+    wy, dwy, uya, _ = _axis_bases(q[RX + 1], torg[1], grid, tc)
+    wz, dwz, uza, _ = _axis_bases(q[RX + 2], torg[2], grid, tc)
+    S = q.shape[1]
+    gv = ext.reshape(2, 2, 2, 3, T_TILE, T_TILE, T_TILE).transpose(
+        3, 0, 4, 1, 5, 2, 6
+    ).reshape(3, W_WIN, W_WIN * W_WIN)  # (3, 16_i, 256_jk)
+
+    def pair(a, b):
+        return (a[:, None, :] * b[None, :, :]).reshape(16 * 16, S)
+
+    ww = pair(wy, wz)
+    uw = pair(uya, wz)
+    wu = pair(wy, uza)
+    dw = pair(dwy, wz)
+    wd = pair(wy, dwz)
+
+    X = jnp.stack([wx, dwx, uxa])  # (3, 16, S)
+
+    def mm3(G):  # (16,256) -> (3, S, 256): [wx^T G, dwx^T G, uxa^T G]
+        return jax.lax.dot_general(
+            X, jnp.broadcast_to(G, (3,) + G.shape),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def red(A, P):  # (S, 256) x (256, S) -> (S,)
+        return jnp.sum(A * P.T, axis=1)
+
+    new_v, grad, new_C = [], [], []
+    coef = 4.0 * grid.inv_dx
+    for r in range(3):
+        A, B, U = mm3(gv[r])
+        new_v.append(red(A, ww))
+        grad.append([red(B, ww), red(A, dw), red(A, wd)])
+        new_C.append([coef * red(U, ww), coef * red(A, uw),
+                      coef * red(A, wu)])
+
+    valid = q[RMASS] > 0
+    dt_ = jnp.asarray(dt, q.dtype)
+    new_x = [q[RX + a] + dt_ * new_v[a] for a in range(3)]
+    Ft = []
+    for r in range(3):
+        for c in range(3):
+            acc = 0.0
+            for k in range(3):
+                gk = grad[r][k] * dt_ + (1.0 if k == r else 0.0)
+                acc = acc + gk * q[RF + 3 * k + c]
+            Ft.append(acc)
+
+    out = q
+    for a in range(3):
+        out = out.at[RX + a].set(jnp.where(valid, new_x[a], q[RX + a]))
+        out = out.at[RV + a].set(jnp.where(valid, new_v[a], 0.0))
+    for r in range(3):
+        for c in range(3):
+            out = out.at[RC + 3 * r + c].set(
+                jnp.where(valid, new_C[r][c], 0.0)
+            )
+            out = out.at[RFT + 3 * r + c].set(
+                jnp.where(valid, Ft[3 * r + c], q[RF + 3 * r + c])
+            )
+    g = tc.n_grid
+    drift = jnp.zeros_like(q[RMASS], dtype=bool)
+    for a in range(3):
+        gp = out[RX + a] * grid.inv_dx
+        basep = jnp.clip(jnp.floor(gp - 0.5), -1, g - 1).astype(jnp.int32) \
+            + PAD_LO
+        local = basep - torg[a]
+        drift = drift | (local < SAFE_MIN) | (local > SAFE_MAX)
+    out = out.at[RDRIFT].set((valid & drift).astype(q.dtype))
+    return out
+
+
+def p2g_tiled_ref(ts: TiledState, sig: jnp.ndarray, grid, tc: TileConfig, dt,
+                  chunk_impl: str = "ref"):
     """All chunks via vmap; returns octant windows (ntiles, 256, 64)."""
+    chunk = p2g_chunk_mm if chunk_impl == "mm" else p2g_chunk_ref
     nchunk = ts.chunk_tile.shape[0]
     qc = ts.q.reshape(QROWS, nchunk, tc.S).transpose(1, 0, 2)
     sc = sig.reshape(16, nchunk, tc.S).transpose(1, 0, 2)
     cw = jax.vmap(
-        lambda q, s, t: p2g_chunk_ref(q, s, t, grid, tc, dt)
+        lambda q, s, t: chunk(q, s, t, grid, tc, dt)
     )(qc, sc, ts.chunk_tile)
     return jnp.zeros(
         (tc.ntiles, 8 * 4 * T_TILE, T_TILE * T_TILE), cw.dtype
     ).at[ts.chunk_tile].add(cw)
 
 
-def g2p_tiled_ref(ts: TiledState, windows: jnp.ndarray, grid, tc, dt):
+def g2p_tiled_ref(ts: TiledState, windows: jnp.ndarray, grid, tc, dt,
+                  chunk_impl: str = "ref"):
+    chunk = g2p_chunk_mm if chunk_impl == "mm" else g2p_chunk_ref
     nchunk = ts.chunk_tile.shape[0]
     qc = ts.q.reshape(QROWS, nchunk, tc.S).transpose(1, 0, 2)
     wc = windows[ts.chunk_tile]
     out = jax.vmap(
-        lambda q, w, t: g2p_chunk_ref(q, w, t, grid, tc, dt)
+        lambda q, w, t: chunk(q, w, t, grid, tc, dt)
     )(qc, wc, ts.chunk_tile)
     return out.transpose(1, 0, 2).reshape(QROWS, ts.q.shape[1])
 
@@ -557,24 +701,7 @@ def substep_tiled(
     )  # 3 planes of (T,T,T,8,64)
 
     if bcs.grid_ops:
-        T = tc.nt + 1
-        sh = (T, T, T, T_TILE, T_TILE * T_TILE)
-        # core-cell coordinates of every blocked cell: x = 8*tx + row,
-        # y = 8*ty + lane//8, z = 8*tz + lane%8, each minus PAD_LO (pad
-        # cells get out-of-range coords; they carry zero mass/velocity and
-        # are never read back by G2P thanks to the kernel clamp matrix)
-        lane = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
-        li = [jax.lax.broadcasted_iota(jnp.int32, sh, 3),
-              lane // T_TILE, lane % T_TILE]
-        coords = jnp.stack([
-            (jax.lax.broadcasted_iota(jnp.int32, sh, d) * T_TILE
-             + li[d] - PAD_LO).astype(jnp.float32)
-            for d in range(3)], axis=-1,
-        ).reshape(-1, 3)
-        gv_aos = jnp.stack(grid_v, axis=-1).reshape(-1, 3)
-        for op in bcs.grid_ops:
-            gv_aos = op.apply_grid(gv_aos, coords, time, dt, grid.dx)
-        grid_v = tuple(gv_aos[:, r].reshape(sh) for r in range(3))
+        grid_v = _apply_grid_bcs_blocked(grid_v, bcs, time, dt, grid, tc)
 
     # extract per-tile octant blocks -> G2P
     gvb = jnp.concatenate(grid_v, axis=3)  # (T,T,T,24,64)
@@ -586,6 +713,132 @@ def substep_tiled(
 
     need = jnp.max(new_q[RDRIFT]) > 0
     return dataclasses.replace(ts, q=new_q, need_rebucket=need)
+
+
+def _apply_grid_bcs_blocked(grid_v, bcs, time, dt, grid: GridConfig,
+                            tc: TileConfig):
+    """Grid-phase BCs/colliders on the blocked (T,T,T,8,64) velocity planes."""
+    T = tc.nt + 1
+    sh = (T, T, T, T_TILE, T_TILE * T_TILE)
+    # core-cell coordinates of every blocked cell: x = 8*tx + row,
+    # y = 8*ty + lane//8, z = 8*tz + lane%8, each minus PAD_LO (pad
+    # cells get out-of-range coords; they carry zero mass/velocity and
+    # are never read back by G2P thanks to the kernel clamp matrix)
+    lane = jax.lax.broadcasted_iota(jnp.int32, sh, 4)
+    li = [jax.lax.broadcasted_iota(jnp.int32, sh, 3),
+          lane // T_TILE, lane % T_TILE]
+    coords = jnp.stack([
+        (jax.lax.broadcasted_iota(jnp.int32, sh, d) * T_TILE
+         + li[d] - PAD_LO).astype(jnp.float32)
+        for d in range(3)], axis=-1,
+    ).reshape(-1, 3)
+    gv_aos = jnp.stack(grid_v, axis=-1).reshape(-1, 3)
+    for op in bcs.grid_ops:
+        gv_aos = op.apply_grid(gv_aos, coords, time, dt, grid.dx)
+    return tuple(gv_aos[:, r].reshape(sh) for r in range(3))
+
+
+# ---------------------------------------------------------------------------
+# differentiable fitting substeps (VERDICT r3 item 3)
+# ---------------------------------------------------------------------------
+
+def substep_tiled_fitting(
+    ts: TiledState,
+    model: MPMModel,
+    bcs,
+    time,
+    grid: GridConfig,
+    tc: TileConfig,
+    dt: float,
+    chunk_impl: str = "mm",
+) -> TiledState:
+    """One DIFFERENTIABLE fitting substep in the tiled layout.
+
+    Fitting semantics parity (p2g2p_forward,
+    /root/reference/mpm_solver/solver.py:54-69): Green-strain StVK stress on
+    F (no return map, /root/reference/mpm_solver/utils.py:57-76), no
+    particle-phase BCs, F advanced directly by G2P (F <- F_trial,
+    utils.py:344).
+
+    Runs the separable einsum formulation (p2g_chunk_ref/g2p_chunk_ref):
+    both transfer directions are per-chunk matmuls over the 16-slot axis
+    bases, so jax.grad's transposes are ALSO matmuls — this is the
+    TPU-native answer to the reference's hand-driven Taichi adjoint kernels
+    (solver.py:71-90), replacing the XLA scatter/gather adjoint whose
+    index-bound transpose dominates the training step (BASELINE.md).
+
+    Bucketing is FIXED across the differentiated window (no mid-scan
+    rebucket): the permutation stays constant under jax.checkpoint, and a
+    particle drifting outside its tile's safe window sets need_rebucket so
+    the caller can redo the frame on the XLA path.
+    """
+    from gsmpm_tpu.ops.constitutive import cauchy_stress_stvk_green_soa
+
+    q = ts.q
+    F = tuple(q[RF + i] for i in range(9))
+    stress = cauchy_stress_stvk_green_soa(F, ts.aux[AMU], ts.aux[ALAM])
+    sig = jnp.concatenate([
+        jnp.stack(stress), jnp.zeros((16 - 9, q.shape[1]), q.dtype)
+    ])
+
+    windows = p2g_tiled_ref(ts, sig, grid, tc, dt, chunk_impl=chunk_impl)
+    acc = fold_windows(windows, tc)
+    grid_v = grid_update_soa(
+        acc[:, :, :, 0:T_TILE],
+        (acc[:, :, :, T_TILE:2 * T_TILE],
+         acc[:, :, :, 2 * T_TILE:3 * T_TILE],
+         acc[:, :, :, 3 * T_TILE:4 * T_TILE]),
+        model.gravity, dt,
+    )
+    if bcs.grid_ops:
+        grid_v = _apply_grid_bcs_blocked(grid_v, bcs, time, dt, grid, tc)
+
+    gvb = jnp.concatenate(grid_v, axis=3)
+    win_in = extract_windows(gvb, tc)
+    new_q = g2p_tiled_ref(ts, win_in, grid, tc, dt, chunk_impl=chunk_impl)
+    # fitting path advances F directly, no return map
+    new_q = new_q.at[RF:RF + 9].set(new_q[RFT:RFT + 9])
+
+    drifted = ts.need_rebucket | (jnp.max(new_q[RDRIFT]) > 0)
+    return dataclasses.replace(ts, q=new_q, need_rebucket=drifted)
+
+
+def run_substeps_tiled_fitting(
+    soa: SoAState,
+    model: MPMModel,
+    bcs,
+    time,
+    n_substeps: int,
+    grid: GridConfig,
+    dt: float,
+    tc: Optional[TileConfig] = None,
+):
+    """Differentiable fitting window in the tiled layout.
+
+    Returns (soa', time', ok): ok is False when the occupied-tile cap
+    overflowed at bootstrap or a particle drifted out of its tile's safe
+    window mid-scan (fixed bucketing) — the caller must redo the frame on
+    the XLA fitting path (sim/solver.py:run_substeps(fitting=True)).
+
+    Memory policy matches the reference's own (store particles, recompute
+    the grid in backward, /root/reference/mpm_solver/solver.py:74-78):
+    jax.checkpoint per substep keeps only the scan carries.
+    """
+    n = soa.mass.shape[0]
+    if tc is None:
+        tc = default_tile_config(grid.n_grid, n)
+    ts0 = bootstrap(soa, model, grid, tc)
+
+    def body(carry, _):
+        ts, t = carry
+        ts = substep_tiled_fitting(ts, model, bcs, t, grid, tc, dt)
+        return (ts, t + dt), None
+
+    body = jax.checkpoint(body)
+    (ts, time), _ = jax.lax.scan(body, (ts0, time), None, length=n_substeps)
+    q = to_original_order(ts, n)
+    ok = ts.ok & ~ts.need_rebucket
+    return unpack_q(q, soa), time, ok
 
 
 def frame_tiled(

@@ -213,10 +213,11 @@ def test_camera_dp_fit_step_matches_mean_of_singles():
         example_camera=cams[0],
     )
     with mesh:
-        loss_b, logE_b, y_b, state_b, t_b = step(
+        loss_b, logE_b, y_b, state_b, t_b, nd_b = step(
             model.logE, model.y, state, jnp.float32(0.0),
             stack_cameras(cams), gts,
         )
+    assert int(nd_b) == 0  # small scene under default caps: drop-free
 
     # reference: mean over per-camera single losses and grads
     dt = cfg.frame_dt / N_SUB
