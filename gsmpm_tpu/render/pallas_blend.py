@@ -303,6 +303,183 @@ def _blend_bwd_kernel(counts_ref, cand_ref, fwd_ref, g_ref, dF_ref, acc_ref,
     jax.lax.fori_loop(0, n_live, body, 0)
 
 
+def _blend_kernel_streamed(counts_ref, cand_ref, out_ref, *,
+                           C, B, P, t_min, alpha_min, n_chunks):
+    """Chunk-STREAMED twin of _blend_kernel for unbounded candidate counts.
+
+    Grid (nblocks, n_chunks): each step's BlockSpec fetches ONE (16, C)
+    candidate chunk into VMEM, so per-block VMEM is constant in K — the
+    resident-row kernel OOMs VMEM past K ~ 64k, but a drop-free render of a
+    dense fitting scene legitimately needs K ~ 10^5 per block (the CUDA
+    tile loop it replaces iterates unbounded shared-memory batches,
+    upstream forward.cu).  Blend state lives in the out block (index map
+    constant over the chunk axis keeps it VMEM-resident across steps);
+    finished chunks skip compute via pl.when but their fetch still streams
+    — acceptable: this variant is selected only when K is large
+    (blend_blocks_pallas), where the small-K kernel cannot run at all.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    count = counts_ref[b]
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
+
+    H = _pixel_monomials(B, P)
+    mm = _MM
+    dn0 = (((0,), (0,)), ((), ()))
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = jnp.concatenate(
+            [jnp.zeros((3, P), jnp.float32),
+             jnp.ones((1, P), jnp.float32),
+             jnp.zeros((4, P), jnp.float32)], axis=0
+        )
+
+    T = out_ref[0, 3:4, :]
+    done = out_ref[0, 4:5, :] > 0
+    active = (c < n_live) & jnp.any(jnp.logical_not(done) & (T >= t_min))
+
+    @pl.when(active)
+    def _():
+        F = cand_ref[0]  # (16, C) — this step's chunk
+        power = mm(F, H, dimension_numbers=dn0)  # (C, P)
+        lgo = F[6:7, :].reshape(C, 1)
+        alpha = jnp.minimum(0.99, jnp.exp(power))
+        alpha = jnp.where(
+            (power <= lgo) & (alpha >= alpha_min), alpha, 0.0
+        )
+
+        one_minus = 1.0 - alpha
+        cp = one_minus
+        s = 1
+        while s < C:
+            cp = cp * jnp.concatenate(
+                [jnp.ones((s, P), jnp.float32), cp[: C - s]], axis=0
+            )
+            s *= 2
+        excl = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), cp[:-1]], axis=0
+        )
+        T_before = T * excl
+        T_after = T_before * one_minus
+        contrib = jnp.logical_not(done) & (T_after >= t_min)
+        w = jnp.where(contrib, T_before * alpha, 0.0)
+
+        dn1 = (((1,), (0,)), ((), ()))
+        sums = mm(F[8:11, :], w, dimension_numbers=dn1)
+        out_ref[0, 0:3, :] += sums
+
+        alpha_eff = jnp.where(contrib, alpha, 0.0)
+        out_ref[0, 3:4, :] = T * _tree_prod(1.0 - alpha_eff)
+        new_done = done | jnp.any(T_after < t_min, axis=0, keepdims=True)
+        out_ref[0, 4:5, :] = new_done.astype(jnp.float32)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + c * C + 1).astype(jnp.float32)
+        hit = jnp.where(contrib & (alpha > 0.0), gidx1, 0.0)
+        out_ref[0, 5:6, :] = jnp.maximum(
+            out_ref[0, 5:6, :], jnp.max(hit, axis=0, keepdims=True)
+        )
+
+
+def _blend_bwd_kernel_streamed(counts_ref, cand_ref, fwd_ref, g_ref, dF_ref,
+                               acc_ref, *, C, B, P, t_min, alpha_min,
+                               n_chunks):
+    """Streamed reverse-walk backward (see _blend_kernel_streamed).
+
+    Grid (nblocks, n_chunks) with the chunk axis's index maps REVERSED
+    (step k touches chunk n_chunks-1-k for both the candidate fetch and
+    the dF write), so the walk runs back-to-front like the resident-row
+    kernel's fori_loop.  The (T_end, R_end) state persists in VMEM scratch
+    across the sequential TPU grid; it re-initializes at k == 0 of every
+    block.
+    """
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    cc = n_chunks - 1 - k
+    count = counts_ref[b]
+    n_live = jnp.minimum((count + C - 1) // C, n_chunks)
+
+    H = _pixel_monomials(B, P)
+    mm = _MM
+    dn0 = (((0,), (0,)), ((), ()))
+    dnP = (((1,), (1,)), ((), ()))
+
+    g_rgb = g_ref[0, 0:3, :]
+    g_T = g_ref[0, 3:4, :]
+    T_fin = fwd_ref[0, 3:4, :]
+    last = fwd_ref[0, 5:6, :]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[0:1, :] = T_fin
+        acc_ref[1:2, :] = T_fin * g_T
+
+    dF_ref[0] = jnp.zeros((16, C), jnp.float32)
+
+    @pl.when(cc < n_live)
+    def _():
+        T_end = acc_ref[0:1, :]
+        R_end = acc_ref[1:2, :]
+        F = cand_ref[0]  # (16, C)
+        power = mm(F, H, dimension_numbers=dn0)
+        lgo = F[6:7, :].reshape(C, 1)
+        expp = jnp.exp(power)
+        alpha = jnp.minimum(0.99, expp)
+        gate0 = (power <= lgo) & (alpha >= alpha_min)
+        gidx1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                 + cc * C + 1).astype(jnp.float32)
+        contrib = gate0 & (gidx1 <= last)
+        a_eff = jnp.where(contrib, alpha, 0.0)
+        one_minus = 1.0 - a_eff
+
+        prodc = _tree_prod(one_minus)
+        T_start = T_end / prodc
+        cp = one_minus
+        s = 1
+        while s < C:
+            cp = cp * jnp.concatenate(
+                [jnp.ones((s, P), jnp.float32), cp[: C - s]], axis=0
+            )
+            s *= 2
+        excl = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), cp[:-1]], axis=0
+        )
+        T_before = T_start * excl
+        w = T_before * a_eff
+
+        cdot = mm(F[8:11, :], g_rgb, dimension_numbers=dn0)
+        v = w * cdot
+        suf = v
+        s = 1
+        while s < C:
+            suf = suf + jnp.concatenate(
+                [suf[s:], jnp.zeros((s, P), jnp.float32)], axis=0
+            )
+            s *= 2
+        S = R_end + (suf - v)
+
+        dA = T_before * cdot - S / one_minus
+        dP_ = jnp.where(contrib & (expp < 0.99), dA * alpha, 0.0)
+
+        dFq = mm(H, dP_, dimension_numbers=dnP)
+        dFc = mm(g_rgb, w, dimension_numbers=dnP)
+        dF_ref[0] = jnp.concatenate(
+            [dFq[0:8], dFq[8:11] + dFc, dFq[11:]], axis=0
+        )
+
+        acc_ref[0:1, :] = T_start
+        acc_ref[1:2, :] = R_end + jnp.sum(v, axis=0, keepdims=True)
+
+
+# per-block candidate capacity above which the resident-row kernels would
+# blow VMEM (K * 64 B approaches the ~16 MB budget with the backward's
+# in+out rows): switch to the streamed kernels.  The chunk size stays at
+# the resident kernels' C — the (C, P) blend intermediates cost C*P*4 B of
+# VMEM each, so a bigger chunk trades grid-step overhead for the same OOM
+# the streaming is there to avoid (measured: C=1024 at P=4096 wants 44 MB).
+_STREAM_K = 16384
+
+
 def _blend_meta(K, cfg):
     """(C, n_chunks, K_padded) for a given candidate capacity."""
     C = cfg.chunk
@@ -325,20 +502,37 @@ def _blend_core(counts, F, meta):
     """
     C, B, P, t_min, alpha_min, n_chunks = meta
     nblocks = F.shape[0]
-    kernel = functools.partial(
-        _blend_kernel, C=C, B=B, P=P, t_min=t_min,
-        alpha_min=alpha_min, n_chunks=n_chunks,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    if n_chunks * C > _STREAM_K:
+        # large-K: stream one (16, C) chunk per grid step (constant VMEM)
+        kernel = functools.partial(
+            _blend_kernel_streamed, C=C, B=B, P=P, t_min=t_min,
+            alpha_min=alpha_min, n_chunks=n_chunks,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 16, C), lambda b, c, cnt: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, P), lambda b, c, cnt: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        kernel = functools.partial(
+            _blend_kernel, C=C, B=B, P=P, t_min=t_min,
+            alpha_min=alpha_min, n_chunks=n_chunks,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks, 8, P), jnp.float32),
@@ -356,25 +550,51 @@ def _blend_core_bwd(meta, res, g):
     counts, F, out = res
     C, B, P, t_min, alpha_min, n_chunks = meta
     nblocks = F.shape[0]
-    kernel = functools.partial(
-        _blend_bwd_kernel, C=C, B=B, P=P, t_min=t_min,
-        alpha_min=alpha_min, n_chunks=n_chunks,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
-    )
+    if n_chunks * C > _STREAM_K:
+        kernel = functools.partial(
+            _blend_bwd_kernel_streamed, C=C, B=B, P=P, t_min=t_min,
+            alpha_min=alpha_min, n_chunks=n_chunks,
+        )
+        rev = n_chunks - 1
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 16, C), lambda b, c, cnt: (b, 0, rev - c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P), lambda b, c, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P), lambda b, c, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 16, C), lambda b, c, cnt: (b, 0, rev - c),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+        )
+    else:
+        kernel = functools.partial(
+            _blend_bwd_kernel, C=C, B=B, P=P, t_min=t_min,
+            alpha_min=alpha_min, n_chunks=n_chunks,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P), lambda b, cnt: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 16, n_chunks * C), lambda b, cnt: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+        )
     dF = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks, 16, n_chunks * C),

