@@ -146,13 +146,22 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
     rcfg = RasterConfig()
 
     # --- multi-device: shard the product path over a mesh (VERDICT r2 #1) --
+    # --mesh auto | none | data=N[,engine=halo_tiled|halo|tiled|psum]
     mesh_req = (mesh or "auto").lower()
-    if mesh_req.startswith("data="):
-        ndata = int(mesh_req.split("=", 1)[1])
-    elif mesh_req == "auto":
-        ndata = jax.device_count()
-    else:  # "none"
-        ndata = 1
+    ndata = jax.device_count()
+    prefer_engine = None
+    for part in mesh_req.split(","):
+        part = part.strip()
+        if part.startswith("data="):
+            ndata = int(part.split("=", 1)[1])
+        elif part.startswith("engine="):
+            prefer_engine = part.split("=", 1)[1]
+        elif part == "none":
+            ndata = 1
+        elif part in ("auto", ""):
+            pass
+        else:
+            raise ValueError(f"unknown --mesh component: {part!r}")
     use_mesh = ndata > 1
     n_unpadded = n_sim
     mesh_engine = render_frame_mesh = None
@@ -170,7 +179,7 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
         mesh_engine = MeshSimEngine(
             mesh_obj, "data", state, model, bcs, grid, mpm.substep_dt,
             n_steps, incremental_cov=mpm.incremental_cov,
-            rotate_sh=mpm.rotate_sh, quiet=quiet,
+            rotate_sh=mpm.rotate_sh, quiet=quiet, prefer=prefer_engine,
         )
 
         def _mesh_transform(xyz_g, cov_g, R, opac, feats):
@@ -394,8 +403,10 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint in output_path")
     parser.add_argument("--mesh", type=str, default="auto",
-                        help='"auto" | "none" | "data=N": multi-device '
-                             "particle sharding (halo/tiled/psum engine "
+                        help='"auto" | "none" | '
+                             '"data=N[,engine=halo_tiled|halo|tiled|psum]": '
+                             "multi-device particle sharding; engine= forces "
+                             "a specific parallel engine (default "
                              "auto-selected; see parallel/engines.py)")
     parser.add_argument("--synthetic_res", type=int, default=800,
                         help="render resolution for --synthetic scenes")

@@ -101,10 +101,26 @@ class MeshSimEngine:
     # --- selection -------------------------------------------------------
 
     def _select(self, prefer: Optional[str], state) -> str:
-        if prefer in ("halo", "tiled", "psum"):
+        """Engine order (VERDICT r3 item 4 — the halo family must be
+        reachable on TPU, where it was previously never considered):
+
+        - TPU, big grid (n_grid >= 96): ``halo_tiled`` first — x-slab halo
+          exchange composed with the Pallas MXU transfer
+          (parallel/halo_tiled.py).  Its boundary-slab exchange is O(G^2)
+          and independent of device count, vs the tiled engine's
+          O(G^3)-equivalent blocked-grid psum that grows with it; at
+          G >= 96 the psum's ~20+ MB/substep dominates ICI.  Falls through
+          when the grid has < 2 x-tiles per device or the scene is too
+          narrow.
+        - TPU otherwise: ``tiled`` (blocked psum is small at G <= 64).
+        - CPU big grid: cell-granularity ``halo`` (XLA local compute).
+        - always: ``psum`` as the unconditional fallback.
+        """
+        if prefer in ("halo", "halo_tiled", "tiled", "psum"):
             order = [prefer]
         elif jax.default_backend() == "tpu" and not self.incremental_cov:
-            order = ["tiled", "psum"]
+            order = (["halo_tiled", "tiled", "psum"]
+                     if self.grid.n_grid >= 96 else ["tiled", "psum"])
         elif self.grid.n_grid >= 64 and not self.incremental_cov:
             order = ["halo", "psum"]
         else:
@@ -122,6 +138,17 @@ class MeshSimEngine:
                     continue  # scene too narrow in x for slabs
                 self._halo_starts, self._halo_hc = res
                 return "halo"
+            if name == "halo_tiled":
+                from gsmpm_tpu.parallel.halo_tiled import quantile_tile_starts
+
+                res = quantile_tile_starts(
+                    np.asarray(state.x[:, 0]), self.grid.n_grid,
+                    self.grid.grid_extent, self.mesh.shape[self.axis],
+                )
+                if res is None:
+                    continue  # < 2 x-tiles per device / narrow scene
+                (self._ht_starts, self._ht_hc, self._ht_tc) = res
+                return "halo_tiled"
             return name
         return "psum"
 
@@ -180,6 +207,46 @@ class MeshSimEngine:
         new_state, R = self._post(out)
         return new_state, t2, R
 
+    def _frame_halo_tiled(self, state, model, t):
+        from gsmpm_tpu.parallel.halo import original_view
+        from gsmpm_tpu.parallel.halo_tiled import (
+            bootstrap_slots_tiled, make_halo_tiled_frame,
+        )
+        from gsmpm_tpu.sim.kernels import state_from_soa
+
+        if getattr(self, "_halo_tiled", None) is None:
+            me = _largest_divisor_leq(self.n_steps, 10)
+            fn = jax.jit(make_halo_tiled_frame(
+                self.mesh, self.axis, self.bcs, self.grid, self._ht_hc,
+                self._ht_tc, self.dt, self.n_steps, migrate_every=me,
+                impl="pallas" if jax.default_backend() == "tpu" else "ref",
+            ))
+            self._halo_tiled = [
+                fn, jnp.asarray(self._ht_starts, jnp.int32), None
+            ]
+        fn, starts_arr, carry = self._halo_tiled
+        if carry is None:
+            (soa, aux, mat, orig, ok0), _cells = bootstrap_slots_tiled(
+                state, model, self._ht_starts, self.grid, self._ht_hc
+            )
+            if not bool(ok0):
+                return None  # capacity overflow at bootstrap -> fallback
+            carry = (soa, aux, mat, orig)
+        soa, aux, mat, orig = carry
+        with self.mesh:
+            soa, aux, mat, orig, full, t2, ok = fn(
+                soa, aux, mat, orig, starts_arr, model, t
+            )
+        if not bool(ok):
+            self._halo_tiled[2] = None
+            return None
+        self._halo_tiled[2] = (soa, aux, mat, orig)
+        n = state.x.shape[0]
+        out = state_from_soa(original_view(full, n))
+        out = dataclasses.replace(out, init_cov=state.init_cov)
+        new_state, R = self._post(out)
+        return new_state, t2, R
+
     def _frame_tiled(self, state, model, t):
         from gsmpm_tpu.parallel.tiled_sharded import (
             make_sharded_frame_tiled, sharded_tile_config,
@@ -230,6 +297,14 @@ class MeshSimEngine:
             if not self.quiet:
                 print("(halo engine drift/overflow: falling back to the "
                       "psum-sharded engine)")
+            self.engine = "psum"
+        elif self.engine == "halo_tiled":
+            out = self._frame_halo_tiled(state, model, t)
+            if out is not None:
+                return out
+            if not self.quiet:
+                print("(halo_tiled engine drift/overflow: falling back to "
+                      "the psum-sharded engine)")
             self.engine = "psum"
         elif self.engine == "tiled":
             out = self._frame_tiled(state, model, t)

@@ -350,6 +350,128 @@ def _soa_spec(axis):
     return jax.tree_util.tree_map(lambda _: P(axis), dummy)
 
 
+# ---------------------------------------------------------------------------
+# migration (module-level so the tiled-compute halo engine reuses it)
+# ---------------------------------------------------------------------------
+
+def migrate_gathered_slots(soa, aux, material, orig, starts, grid, hc, axis):
+    """Gathered repartition: all_gather every slot, re-partition, slice my
+    segment.  O(N * ndev) bytes — the always-correct fallback."""
+    i = jax.lax.axis_index(axis)
+    full = jax.tree_util.tree_map(
+        lambda p: jax.lax.all_gather(p, axis, tiled=True), soa
+    )
+    aux_f = jax.lax.all_gather(aux, axis, axis=1, tiled=True)
+    mat_f = jax.lax.all_gather(material, axis, tiled=True)
+    orig_f = jax.lax.all_gather(orig, axis, tiled=True)
+    soa2, aux2, mat2, orig2, ok = partition_slots(
+        full, aux_f, mat_f, orig_f, starts, grid, hc
+    )
+    lo = i * hc.cap
+
+    def cut(p, ax=0):
+        return jax.lax.dynamic_slice_in_dim(p, lo, hc.cap, ax)
+
+    soa2 = jax.tree_util.tree_map(cut, soa2)
+    return (soa2, jax.lax.dynamic_slice_in_dim(aux2, lo, hc.cap, 1),
+            cut(mat2), cut(orig2), ok)
+
+
+def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis):
+    """Neighbor-only emigrant exchange: ppermute bounded buffers left/right
+    (O(mcap) bytes per boundary); margin-bounded drift means an emigrant's
+    new owner is always a direct neighbor.  Overflow of a buffer or the
+    free-slot pool — detected collectively BEFORE the exchange — falls back
+    to the gathered repartition."""
+    nd = hc.ndev
+    i = jax.lax.axis_index(axis)
+    x0 = starts[i]
+    x1 = starts[i + 1]
+    mcap = hc.mcap
+    n_slots = hc.cap
+    live = orig >= 0
+    dev_new = jnp.where(
+        live, _device_of(soa.x[0], starts, grid, hc), i
+    )
+    go_l = live & (dev_new == i - 1)
+    go_r = live & (dev_new == i + 1)
+    stray = live & (jnp.abs(dev_new - i) > 1)  # margin violated
+    n_l = jnp.sum(go_l.astype(jnp.int32))
+    n_r = jnp.sum(go_r.astype(jnp.int32))
+    stay = live & ~go_l & ~go_r
+    n_free = n_slots - jnp.sum(stay.astype(jnp.int32))
+
+    perm_left = [(d, d - 1) for d in range(1, nd)]
+    perm_right = [(d, d + 1) for d in range(nd - 1)]
+    # counts first: agree collectively on feasibility BEFORE moving payload
+    recv_r_cnt = jax.lax.ppermute(n_l[None], axis, perm_left)[0]
+    recv_l_cnt = jax.lax.ppermute(n_r[None], axis, perm_right)[0]
+    bad_local = (
+        (n_l > mcap) | (n_r > mcap) | jnp.any(stray)
+        | (recv_l_cnt + recv_r_cnt > n_free)
+    )
+    any_bad = jax.lax.psum(bad_local.astype(jnp.int32), axis) > 0
+
+    def do_gathered(args):
+        soa, aux, material, orig = args
+        return migrate_gathered_slots(
+            soa, aux, material, orig, starts, grid, hc, axis
+        )
+
+    def do_neighbor(args):
+        soa, aux, material, orig = args
+        rows = _pack_rows(soa, aux, material, orig)
+        jj = jnp.arange(mcap, dtype=jnp.int32)
+
+        def build(mask, cnt):
+            order = jnp.argsort(jnp.logical_not(mask), stable=True)
+            src = order[:mcap]
+            valid = jj < cnt
+            return jnp.where(valid[None, :], rows[:, src], 0.0)
+
+        buf_l = build(go_l, n_l)
+        buf_r = build(go_r, n_r)
+        recv_from_right = jax.lax.ppermute(buf_l, axis, perm_left)
+        recv_from_left = jax.lax.ppermute(buf_r, axis, perm_right)
+
+        # kill emigrants: park dead at the slab center, mass 0
+        slab_mid = (x0 + x1).astype(jnp.float32) * 0.5 * grid.dx
+        mid_yz = jnp.float32(0.5 * hc.n_grid * grid.dx)
+        dead = SoAState(
+            x=(slab_mid, mid_yz, mid_yz),
+            v=(0.0,) * 3, F=_DEAD_F, F_trial=_DEAD_F, C=(0.0,) * 9,
+            vol=0.0, density=0.0, mass=0.0,
+            init_cov=(0.0,) * 6, cov=(0.0,) * 6, yield_stress=0.0,
+        )
+        soa_k = jax.tree_util.tree_map(
+            lambda p, d: jnp.where(stay, p, d), soa, dead
+        )
+        aux_k = jnp.where(stay[None, :], aux, 0.0)
+        mat_k = jnp.where(stay, material, 0)
+        orig_k = jnp.where(stay, orig, -1)
+        rows_k = _pack_rows(soa_k, aux_k, mat_k, orig_k)
+
+        # insert immigrants into free slots (dead-first order)
+        free_order = jnp.argsort(stay, stable=True).astype(jnp.int32)
+        dst_l = jnp.where(
+            jj < recv_l_cnt, free_order[jnp.minimum(jj, n_slots - 1)],
+            n_slots,  # OOB -> scatter drops
+        )
+        dst_r = jnp.where(
+            jj < recv_r_cnt,
+            free_order[jnp.minimum(recv_l_cnt + jj, n_slots - 1)],
+            n_slots,
+        )
+        rows_k = rows_k.at[:, dst_l].set(recv_from_left, mode="drop")
+        rows_k = rows_k.at[:, dst_r].set(recv_from_right, mode="drop")
+        soa2, aux2, mat2, orig2 = _unpack_rows(rows_k)
+        return soa2, aux2, mat2, orig2, jnp.asarray(True)
+
+    return jax.lax.cond(
+        any_bad, do_gathered, do_neighbor, (soa, aux, material, orig)
+    )
+
+
 def make_halo_frame(
     mesh: Mesh, axis: str, bcs, grid: GridConfig, hc: HaloConfig, dt: float,
     n_substeps: int, migrate_every: int = 10, migration: str = "neighbor",
@@ -384,127 +506,12 @@ def make_halo_frame(
         x1 = starts[i + 1]
         g = grid.n_grid
 
-        def migrate_gathered(soa, aux, material, orig):
-            full = jax.tree_util.tree_map(
-                lambda p: jax.lax.all_gather(p, axis, tiled=True), soa
+        def migrate(soa, aux, material, orig):
+            fn = (
+                migrate_gathered_slots if migration == "gathered"
+                else migrate_neighbor_slots
             )
-            aux_f = jax.lax.all_gather(aux, axis, axis=1, tiled=True)
-            mat_f = jax.lax.all_gather(material, axis, tiled=True)
-            orig_f = jax.lax.all_gather(orig, axis, tiled=True)
-            soa2, aux2, mat2, orig2, ok = partition_slots(
-                full, aux_f, mat_f, orig_f, starts, grid, hc
-            )
-            lo = i * hc.cap
-
-            def cut(p, ax=0):
-                return jax.lax.dynamic_slice_in_dim(p, lo, hc.cap, ax)
-
-            soa2 = jax.tree_util.tree_map(cut, soa2)
-            return (soa2, jax.lax.dynamic_slice_in_dim(aux2, lo, hc.cap, 1),
-                    cut(mat2), cut(orig2), ok)
-
-        def migrate_neighbor(soa, aux, material, orig):
-            """ppermute bounded emigrant buffers left/right; overflow falls
-            back to the gathered repartition (collective decision)."""
-            mcap = hc.mcap
-            n_slots = hc.cap
-            live = orig >= 0
-            dev_new = jnp.where(
-                live, _device_of(soa.x[0], starts, grid, hc), i
-            )
-            go_l = live & (dev_new == i - 1)
-            go_r = live & (dev_new == i + 1)
-            stray = live & (jnp.abs(dev_new - i) > 1)  # margin violated
-            n_l = jnp.sum(go_l.astype(jnp.int32))
-            n_r = jnp.sum(go_r.astype(jnp.int32))
-            stay = live & ~go_l & ~go_r
-            n_free = n_slots - jnp.sum(stay.astype(jnp.int32))
-
-            perm_left = [(d, d - 1) for d in range(1, nd)]
-            perm_right = [(d, d + 1) for d in range(nd - 1)]
-            # counts first: agree collectively on feasibility BEFORE moving
-            # the payload
-            recv_r_cnt = jax.lax.ppermute(
-                n_l[None], axis, perm_left
-            )[0]  # right neighbor's left-emigrants land here
-            recv_l_cnt = jax.lax.ppermute(
-                n_r[None], axis, perm_right
-            )[0]
-            bad_local = (
-                (n_l > mcap) | (n_r > mcap) | jnp.any(stray)
-                | (recv_l_cnt + recv_r_cnt > n_free)
-            )
-            any_bad = jax.lax.psum(bad_local.astype(jnp.int32), axis) > 0
-
-            def do_gathered(args):
-                return migrate_gathered(*args)
-
-            def do_neighbor(args):
-                soa, aux, material, orig = args
-                rows = _pack_rows(soa, aux, material, orig)
-                jj = jnp.arange(mcap, dtype=jnp.int32)
-
-                def build(mask, cnt):
-                    order = jnp.argsort(
-                        jnp.logical_not(mask), stable=True
-                    )
-                    src = order[:mcap]
-                    valid = jj < cnt
-                    return jnp.where(valid[None, :], rows[:, src], 0.0)
-
-                buf_l = build(go_l, n_l)
-                buf_r = build(go_r, n_r)
-                recv_from_right = jax.lax.ppermute(buf_l, axis, perm_left)
-                recv_from_left = jax.lax.ppermute(buf_r, axis, perm_right)
-
-                # kill emigrants: park dead at the slab center, mass 0
-                slab_mid = (
-                    (x0 + x1).astype(jnp.float32) * 0.5 * grid.dx
-                )
-                mid_yz = jnp.float32(0.5 * hc.n_grid * grid.dx)
-                dead = SoAState(
-                    x=(slab_mid, mid_yz, mid_yz),
-                    v=(0.0,) * 3, F=_DEAD_F, F_trial=_DEAD_F, C=(0.0,) * 9,
-                    vol=0.0, density=0.0, mass=0.0,
-                    init_cov=(0.0,) * 6, cov=(0.0,) * 6, yield_stress=0.0,
-                )
-                soa_k = jax.tree_util.tree_map(
-                    lambda p, d: jnp.where(stay, p, d), soa, dead
-                )
-                aux_k = jnp.where(stay[None, :], aux, 0.0)
-                mat_k = jnp.where(stay, material, 0)
-                orig_k = jnp.where(stay, orig, -1)
-                rows_k = _pack_rows(soa_k, aux_k, mat_k, orig_k)
-                # dead rows carry orig = -1, which _pack/_unpack round-trips
-
-                # insert immigrants into free slots (dead-first order)
-                free_order = jnp.argsort(stay, stable=True).astype(jnp.int32)
-                dst_l = jnp.where(
-                    jj < recv_l_cnt, free_order[jnp.minimum(jj, n_slots - 1)],
-                    n_slots,  # OOB -> scatter drops
-                )
-                dst_r = jnp.where(
-                    jj < recv_r_cnt,
-                    free_order[jnp.minimum(recv_l_cnt + jj, n_slots - 1)],
-                    n_slots,
-                )
-                rows_k = rows_k.at[:, dst_l].set(
-                    recv_from_left, mode="drop"
-                )
-                rows_k = rows_k.at[:, dst_r].set(
-                    recv_from_right, mode="drop"
-                )
-                soa2, aux2, mat2, orig2 = _unpack_rows(rows_k)
-                return soa2, aux2, mat2, orig2, jnp.asarray(True)
-
-            return jax.lax.cond(
-                any_bad, do_gathered, do_neighbor,
-                (soa, aux, material, orig),
-            )
-
-        migrate = (
-            migrate_gathered if migration == "gathered" else migrate_neighbor
-        )
+            return fn(soa, aux, material, orig, starts, grid, hc, axis)
 
         def drift_ok(soa, orig):
             cell = jnp.floor(soa.x[0] * grid.inv_dx).astype(jnp.int32)

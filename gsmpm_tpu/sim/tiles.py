@@ -642,6 +642,8 @@ def substep_tiled(
     impl: str = "ref",
     axis_name=None,
     rebucket_on_drift: bool = True,
+    grid_reduce=None,
+    grid_exchange=None,
 ) -> TiledState:
     """One MLS-MPM substep in the tiled layout.
 
@@ -652,6 +654,12 @@ def substep_tiled(
     axis_name: chunk-sharded multi-device mode (parallel/tiled_sharded.py)
     -- the folded grid is psum-reduced across the mesh axis; rebucketing is
     the sharded caller's responsibility (rebucket_on_drift=False).
+
+    grid_reduce / grid_exchange: spatial-decomposition hooks
+    (parallel/halo_tiled.py) — grid_reduce(acc) replaces the full-grid psum
+    with a neighbor halo accumulation on the blocked (T,T,T,32,64) layout;
+    grid_exchange(grid_v) masks non-owned tiles and fetches owner-computed
+    boundary velocities after the grid update + BCs.
     """
     if rebucket_on_drift:
         ts = jax.lax.cond(
@@ -690,7 +698,12 @@ def substep_tiled(
     else:
         windows = p2g_tiled_ref(ts, sig, grid, tc, dt)
     acc = fold_windows(windows, tc)
-    if axis_name is not None:
+    if grid_reduce is not None:
+        # spatial-decomposition hook (parallel/halo_tiled.py): accumulate
+        # only the boundary x-tile slabs from slab neighbors instead of a
+        # full-grid psum
+        acc = grid_reduce(acc)
+    elif axis_name is not None:
         acc = jax.lax.psum(acc, axis_name)
     grid_v = grid_update_soa(
         acc[:, :, :, 0:T_TILE],
@@ -702,6 +715,9 @@ def substep_tiled(
 
     if bcs.grid_ops:
         grid_v = _apply_grid_bcs_blocked(grid_v, bcs, time, dt, grid, tc)
+    if grid_exchange is not None:
+        # ownership masking + owner-to-neighbor velocity halos
+        grid_v = grid_exchange(grid_v)
 
     # extract per-tile octant blocks -> G2P
     gvb = jnp.concatenate(grid_v, axis=3)  # (T,T,T,24,64)

@@ -246,3 +246,39 @@ def test_identify_app_camera_dp(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "camera-DP over 2 devices" in out, out[-500:]
     assert np.isfinite(ident.optimized_E)
+
+
+def test_simulate_app_mesh_halo_tiled_engine(tmp_path):
+    """The COMPOSED engine (x-tile-slab halo exchange + tiled MXU local
+    transfer, parallel/halo_tiled.py) is reachable from apps/simulate.py
+    via --mesh engine=halo_tiled and matches the single-device run
+    (VERDICT r3 item 4)."""
+    from gsmpm_tpu.apps.simulate import simulate
+    from gsmpm_tpu.parallel import engines
+
+    picked = []
+    orig_frame = engines.MeshSimEngine.frame
+
+    def spy(self, state, model, t):
+        picked.append(self.engine)
+        return orig_frame(self, state, model, t)
+
+    engines.MeshSimEngine.frame = spy
+    try:
+        cfg_a = _tiny_cfg(tmp_path / "single", n_grid=128)
+        frames_single = simulate(
+            cfg_a, synthetic=512, frames=1, quiet=True, mesh="none",
+            synthetic_res=64,
+        )
+        cfg_b = _tiny_cfg(tmp_path / "mesh", n_grid=128)
+        frames_mesh = simulate(
+            cfg_b, synthetic=512, frames=1, quiet=True,
+            mesh="auto,engine=halo_tiled", synthetic_res=64,
+        )
+    finally:
+        engines.MeshSimEngine.frame = orig_frame
+    assert picked and picked[0] == "halo_tiled", picked
+    assert picked[-1] == "halo_tiled", picked  # no mid-run fallback
+    for fs, fm in zip(frames_single, frames_mesh):
+        np.testing.assert_allclose(fm, fs, atol=2e-2)
+        assert np.mean(np.abs(fm.astype(np.float64) - fs)) < 2e-4
