@@ -260,3 +260,40 @@ def test_tied_recovery_within_tolerance():
     err_decades = abs(np.log10(ident.optimized_E) - np.log10(E_true))
     assert err_decades < 0.3, (ident.optimized_E, E_true, err_decades)
     assert last_loss < 0.5 * first_loss, (first_loss, last_loss)
+
+
+def _identify_args(tmp_path, **over):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    defaults = dict(
+        scene="torus", output_path=str(tmp_path), data_path=None,
+        synthetic=64, iters=1, frames=2, resolution=32, seed=0,
+        no_appearance=True, tie_params=False, per_particle=False,
+        mesh="none", E_true=3e3, nu_true=0.3, E_init=1e4, nu_init=0.4,
+    )
+    defaults.update(over)
+    for k, v in defaults.items():
+        p.add_argument(f"--{k}", default=v, type=type(v) if v is not None
+                       else str)
+    return p.parse_args([])
+
+
+def test_identify_defaults_to_tied_mode(tmp_path, capsys):
+    """VERDICT r3 item 7: the shipped default must be the mode that can
+    converge — identify auto-selects tied-scalar (E, nu) on its
+    single-material scene and says so; --per_particle keeps the reference
+    learn() parity mode."""
+    from gsmpm_tpu.apps import identify as identify_mod
+
+    ident = identify_mod.identify(_identify_args(tmp_path / "a"))
+    out = capsys.readouterr().out
+    assert ident.fit_cfg.tie_params, "default must be tied-scalar"
+    assert "tied-scalar" in out
+
+    ident2 = identify_mod.identify(
+        _identify_args(tmp_path / "b", per_particle=True)
+    )
+    assert not ident2.fit_cfg.tie_params, (
+        "--per_particle must keep reference learn() parity semantics"
+    )
