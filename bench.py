@@ -218,10 +218,15 @@ def bench_render_dropfree(scene, state, camera, scaling, pos_center, cfg,
     def up(needed):
         return max(128, -(-int(needed * 1.25) // 128) * 128)
 
+    # two-tier drop-free config: every block keeps the default k_tile; only
+    # the measured number of over-cap tiles (+margin) is re-blended at the
+    # measured maximum — the nblocks x K window/gather cost stays at the
+    # default K for 90%+ of blocks (renderer._render_pallas_two_tier)
     rcfg = RasterConfig()._replace(
-        k_tile=up(need["k_tile"]), k_coarse=up(need["k_coarse"]),
-        k_global=up(need["k_global"]), k_row=up(need["k_row"]),
-        k_block=up(need["k_block"]),
+        k_dense=up(need["k_tile"]),
+        n_dense=min(max(need["n_fine_over"] + 4, 8), 64),
+        k_coarse=up(need["k_coarse"]),
+        k_global=up(need["k_global"]),
     )
 
     @jax.jit

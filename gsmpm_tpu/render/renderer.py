@@ -75,6 +75,17 @@ class RasterConfig(NamedTuple):
     # tail blocks and is counted in n_dropped.
     packed: bool = False
     t_cap: int = 32768
+    # two-tier dense-block selection (pallas path; k_dense=0 disables):
+    # after the shared dup-sort, the n_dense FINE tiles with the largest
+    # candidate segments get a SECOND window pass at capacity k_dense and
+    # their blocks are re-blended (streamed kernels handle big k_dense) —
+    # the expensive nblocks x K window/gather cost is paid at K=k_tile for
+    # every block and at K=k_dense only for the few dense ones.  This is
+    # how the drop-free render stays fast on concentrated scenes
+    # (bench_render_dropfree); see BASELINE.md "Splat throughput: honest
+    # accounting".
+    k_dense: int = 0
+    n_dense: int = 16
 
 
 class Preprocessed(NamedTuple):
@@ -710,11 +721,17 @@ def required_raster_caps(
         "k_global": int(hist[gid]),
         "k_row": int(jnp.max(row_cnt)),
         "k_block": int(jnp.max(blk_cnt)),
+        # how many fine tiles exceed the CURRENT k_tile cap: the number of
+        # blocks the two-tier path (cfg.k_dense/n_dense) must re-blend for
+        # a drop-free render
+        "n_fine_over": int(jnp.sum(hist[:nf] > min(cfg.k_tile,
+                                                   means3d.shape[0]))),
     }
 
 
 def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
-                                  cfg: RasterConfig):
+                                  cfg: RasterConfig,
+                                  return_internals: bool = False):
     """Depth-in-key duplication-sort binning (round-2 redesign).
 
     The TPU answer to the CUDA (tileID|depth) radix sort (upstream
@@ -823,7 +840,91 @@ def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
     ])
     n_dropped = jnp.sum(jnp.maximum(seg - caps, 0))
 
+    if return_internals:
+        internals = dict(
+            st=st, bounds=bounds, M=M, sent=sent, n4=n4, nf=nf, nc=nc,
+            parent=parent, seg=seg, k0=k0, k1=k1, k2=k2,
+            dq_c_all=dq_c_all, g_c_all=g_c_all,
+            dq_g1=dq_g[0:1], g_g1=g_g[0:1],
+        )
+        return gidx, counts, origins.astype(jnp.int32), n_dropped, internals
     return gidx, counts, origins.astype(jnp.int32), n_dropped
+
+
+def _stream_windows(itl: dict, tile_ids: jnp.ndarray, k: int):
+    """Depth-first (dq, gidx) windows over arbitrary tiles from the shared
+    dup-sort internals (the nested helper of _select_candidates_dupsort_v2,
+    reusable for the dense tier)."""
+    st, bounds = itl["st"], itl["bounds"]
+    M, sent, n4 = itl["M"], itl["sent"], itl["n4"]
+    s = bounds[tile_ids]
+    e = bounds[tile_ids + 1]
+    w = s[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    wf = jnp.minimum(w, n4 - 1).reshape(-1)
+    kk = st[:, wf].reshape(2, *w.shape)
+    live = w < e[:, None]
+    dqw = jnp.where(live, kk[0] & (M - 1), sent)
+    gw = jnp.where(live, kk[1], 0)
+    return dqw, gw
+
+
+def _render_pallas_two_tier(pre: Preprocessed, camera, bg,
+                            cfg: RasterConfig):
+    """Two-tier dense-block rendering (cfg.k_dense > 0).
+
+    Tier 1 is the standard windowed path at k_tile for every block; the
+    cfg.n_dense fine tiles with the largest sorted segments get a tier-2
+    window at k_dense (one extra n_dense x k_dense gather instead of
+    nblocks x k_dense) and their blocks are re-blended and scattered over
+    the tier-1 output.  With k_dense sized to the measured per-tile maximum
+    (required_raster_caps) the render is DROP-FREE at a fraction of the
+    uniform-K cost on concentrated scenes.
+
+    Returns (image, n_dropped) with n_dropped counting overflow beyond
+    k_dense on the dense tiles, beyond k_tile on the rest, and beyond the
+    coarse/global caps.
+    """
+    from gsmpm_tpu.render.pallas_blend import blend_blocks_pallas
+
+    gidx, counts, origins, _, itl = _select_candidates_dupsort_v2(
+        pre, camera, cfg, return_internals=True
+    )
+    cand = _gather_candidates(pre, gidx, counts)
+    blocks = blend_blocks_pallas(cand, counts, origins, bg, cfg)
+
+    nf, sent = itl["nf"], itl["sent"]
+    n = pre.pix_x.shape[0]
+    seg_f = itl["seg"][:nf]
+    nd = min(cfg.n_dense, nf)
+    kd = min(cfg.k_dense, n)
+    dcnt, dtiles = jax.lax.top_k(seg_f, nd)
+
+    dq_d, g_d = _stream_windows(itl, dtiles, kd)
+    dq_c = itl["dq_c_all"][itl["parent"][dtiles]]
+    g_c = itl["g_c_all"][itl["parent"][dtiles]]
+    dq_g = jnp.broadcast_to(itl["dq_g1"], (nd, itl["k2"]))
+    g_g = jnp.broadcast_to(itl["g_g1"], (nd, itl["k2"]))
+    dq_all = jnp.concatenate([dq_d, dq_c, dq_g], axis=1)
+    g_all = jnp.concatenate([g_d, g_c, g_g], axis=1)
+    mdq, gidx_d = jax.lax.sort((dq_all, g_all), num_keys=1, dimension=1)
+    counts_d = jnp.sum(mdq < sent, axis=1).astype(jnp.int32)
+
+    cand_d = _gather_candidates(pre, gidx_d, counts_d)
+    blocks_d = blend_blocks_pallas(
+        cand_d, counts_d, origins[dtiles], bg, cfg
+    )
+    blocks = blocks.at[dtiles].set(blocks_d)
+
+    # drop accounting: fine tiles at their EFFECTIVE caps + coarse/global
+    over_f = jnp.maximum(seg_f - itl["k0"], 0)
+    over_f_dense = jnp.maximum(dcnt - itl["k0"], 0)  # replaced by kd below
+    dropped = (
+        jnp.sum(over_f) - jnp.sum(over_f_dense)
+        + jnp.sum(jnp.maximum(dcnt - kd, 0))
+        + jnp.sum(jnp.maximum(itl["seg"][nf:nf + itl["nc"]] - itl["k1"], 0))
+        + jnp.maximum(itl["seg"][-1] - itl["k2"], 0)
+    )
+    return assemble_blocks(blocks, camera, cfg), dropped
 
 
 def _gather_candidates(pre: Preprocessed, gidx: jnp.ndarray,
@@ -889,6 +990,8 @@ def _render_pallas_fwd_impl(pre: Preprocessed, camera, bg,
     packed-stream layout (candidate gather + kernel DMA proportional to the
     real candidate total instead of nblocks*K).
     """
+    if cfg.k_dense > 0:
+        return _render_pallas_two_tier(pre, camera, bg, cfg)
     gidx, counts, origins, dropped = _select_candidates_dupsort_v2(
         pre, camera, cfg
     )

@@ -238,3 +238,39 @@ def test_streamed_blend_matches_xla_forward_and_grads(monkeypatch):
                                rtol=7e-2, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gp_op), np.asarray(gx_op),
                                rtol=7e-2, atol=2e-4)
+
+
+def test_two_tier_dense_blocks_match_xla_and_are_drop_free():
+    """cfg.k_dense re-blends the densest fine tiles at a larger capacity:
+    with k_dense sized to the measured per-tile maximum the render is
+    drop-free and matches the XLA reference image, while tier 1 keeps a
+    deliberately SMALL k_tile (which alone would truncate)."""
+    from gsmpm_tpu.render.renderer import (
+        render_with_aux, required_raster_caps,
+    )
+
+    means, cov6, opacity, colors, camera = _scene(n=600, seed=9)
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    base = RasterConfig(block=64, chunk=32, impl="pallas",
+                        k_tile=128, k_coarse=128, k_global=128)
+    need = required_raster_caps(means, cov6, opacity, camera, base)
+    assert need["n_fine_over"] > 0, "test scene must overflow k_tile=128"
+
+    # starved single-tier: drops
+    _, nd0 = render_with_aux(means, cov6, opacity, None, camera, bg, 0,
+                             base, colors_precomp=colors)
+    assert int(nd0) > 0
+
+    kd = -(-need["k_tile"] // 128) * 128
+    two = base._replace(k_dense=kd, n_dense=need["n_fine_over"] + 2)
+    img2, nd2 = render_with_aux(means, cov6, opacity, None, camera, bg, 0,
+                                two, colors_precomp=colors)
+    assert int(nd2) == 0, int(nd2)
+
+    img_x = render(means, cov6, opacity, None, camera, bg,
+                   cfg=RasterConfig(block=64, chunk=32, impl="xla",
+                                    k_row=600, k_block=600),
+                   colors_precomp=colors)
+    a, b = np.asarray(img2), np.asarray(img_x)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
+    assert np.mean(np.abs(a - b)) < 5e-6
