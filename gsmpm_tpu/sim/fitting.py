@@ -238,8 +238,13 @@ class SystemIdentifier:
             return max(cur, -(-int(needed * 1.25) // 128) * 128)
 
         cfg = self.raster_cfg
+        # pallas path: two-tier dense-block selection — keep k_tile for
+        # every block and re-blend only the measured number of over-cap
+        # tiles at the measured maximum (renderer._render_pallas_two_tier);
+        # XLA path (CPU) keeps uniform k_row/k_block caps
         new = cfg._replace(
-            k_tile=up(cfg.k_tile, need["k_tile"]),
+            k_dense=up(cfg.k_dense, need["k_tile"]),
+            n_dense=max(cfg.n_dense, min(need["n_fine_over"] + 4, 64)),
             k_coarse=up(cfg.k_coarse, need["k_coarse"]),
             k_global=up(cfg.k_global, need["k_global"]),
             k_row=up(cfg.k_row, need["k_row"]),
@@ -249,12 +254,14 @@ class SystemIdentifier:
             # measured maxima already fit (the drop came from an earlier
             # sub-frame pose or count-vs-cap rounding): double as fallback
             new = cfg._replace(
-                k_tile=2 * cfg.k_tile, k_row=2 * cfg.k_row,
-                k_block=2 * cfg.k_block,
+                k_dense=2 * max(cfg.k_dense, cfg.k_tile),
+                n_dense=min(2 * max(cfg.n_dense, 8), 169),
+                k_row=2 * cfg.k_row, k_block=2 * cfg.k_block,
             )
         print(
             "fitting: resizing rasterizer caps for a drop-free render "
-            f"(k_tile {cfg.k_tile}->{new.k_tile}, k_row {cfg.k_row}->"
+            f"(k_dense {cfg.k_dense}->{new.k_dense}, n_dense "
+            f"{cfg.n_dense}->{new.n_dense}, k_row {cfg.k_row}->"
             f"{new.k_row}, k_block {cfg.k_block}->{new.k_block}); "
             "re-running the frame"
         )

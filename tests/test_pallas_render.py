@@ -274,3 +274,40 @@ def test_two_tier_dense_blocks_match_xla_and_are_drop_free():
     a, b = np.asarray(img2), np.asarray(img_x)
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
     assert np.mean(np.abs(a - b)) < 5e-6
+
+
+def test_two_tier_grads_match_xla():
+    """The two-tier path stays differentiable (top_k indices are constant,
+    the dense-block scatter routes cotangents to the right blend): input
+    grads match the XLA reference path like the single-tier pallas path
+    does (threshold-pixel reassociation tolerance)."""
+    from gsmpm_tpu.render.renderer import required_raster_caps
+
+    means, cov6, opacity, colors, camera = _scene(n=300, seed=9)
+    bg = jnp.zeros(3, jnp.float32)
+    base = RasterConfig(block=64, chunk=32, impl="pallas",
+                        k_tile=128, k_coarse=128, k_global=128)
+    need = required_raster_caps(means, cov6, opacity, camera, base)
+    kd = -(-need["k_tile"] // 128) * 128
+    two = base._replace(k_dense=kd, n_dense=need["n_fine_over"] + 2)
+    xla = RasterConfig(block=64, chunk=32, impl="xla",
+                       k_row=300, k_block=300)
+    rng = np.random.default_rng(13)
+    ct = jnp.asarray(
+        rng.normal(size=(camera.height, camera.width, 3)).astype(np.float32)
+    )
+
+    def f(cfg):
+        def g(c6, op):
+            return render(means, c6, op, None, camera, bg, cfg=cfg,
+                          colors_precomp=colors)
+        return g
+
+    _, vjp_t = jax.vjp(f(two), cov6, opacity)
+    _, vjp_x = jax.vjp(f(xla), cov6, opacity)
+    for a, b in zip(vjp_t(ct), vjp_x(ct)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        assert np.abs(a - b).max() / scale < 5e-3, (
+            np.abs(a - b).max(), scale
+        )
