@@ -307,6 +307,10 @@ class SystemIdentifier:
         bg, rcfg = self.bg, self.raster_cfg
         sh_degree = self.scene.sh_degree
         base_model = self.model
+        use_vjp = getattr(self, "_sim_engine", None) or (
+            "tiled_vjp" if jax.default_backend() == "tpu" else "xla"
+        )
+        self._sim_engine = use_vjp
 
         # opacity/features are traced args, not closure constants: the
         # frame-0 appearance Adam (extra.py:198-203) updates them between
@@ -315,10 +319,29 @@ class SystemIdentifier:
                        opacity, features):
             mu, lam = mu_lam_from_logE_y(logE, y)
             model = dataclasses.replace(base_model, logE=logE, y=y, mu=mu, lam=lam)
-            state, t = run_substeps(
-                state, model, bcs, t, n_sub, grid, dt,
-                fitting=True, checkpoint_policy="substep",
-            )
+            if use_vjp == "tiled_vjp":
+                # the hand-written transfer VJPs (sim/transfer_vjp.py):
+                # forward AND adjoint run the fused Pallas kernels — 3.1x
+                # the XLA planes adjoint at reference scale (BASELINE.md).
+                # ok=False (tile-cap overflow / drift past the fixed
+                # bucketing's safe window) falls back to the XLA engine
+                # for the run (fit_frame re-runs the frame).
+                from gsmpm_tpu.sim.kernels import (
+                    soa_from_state, state_from_soa,
+                )
+                from gsmpm_tpu.sim.tiles import run_substeps_tiled_fitting
+
+                soa, t, ok = run_substeps_tiled_fitting(
+                    soa_from_state(state), model, bcs, t, n_sub, grid, dt,
+                    chunk_impl="vjp",
+                )
+                state = state_from_soa(soa)
+            else:
+                state, t = run_substeps(
+                    state, model, bcs, t, n_sub, grid, dt,
+                    fitting=True, checkpoint_policy="substep",
+                )
+                ok = jnp.asarray(True)
             # postprocess_forward parity: cov from F at the final substep
             # (/root/reference/mpm_solver/utils.py:435-467)
             F = state.F
@@ -332,7 +355,7 @@ class SystemIdentifier:
                 xyz_w, cov_w, opacity, features, camera, bg, sh_degree, rcfg
             )
             loss = photometric_loss(img, gt)
-            return loss, (state, t, img, n_dropped)
+            return loss, (state, t, img, n_dropped, ok)
 
         self._frame_fn = jax.jit(
             jax.value_and_grad(frame_loss, argnums=(0, 1), has_aux=True)
@@ -349,11 +372,24 @@ class SystemIdentifier:
         while True:
             if self._frame_fn is None:
                 self._build_frame_fn()
-            (loss, (state2, t2, img, n_dropped)), (g_logE, g_y) = self._frame_fn(
-                self.model.logE, self.model.y, state, t, camera, gt_image,
-                self.scaling, self.pos_center,
-                self.scene.get_opacity().reshape(-1), self.scene.get_features(),
-            )
+            (loss, (state2, t2, img, n_dropped, sim_ok)), (g_logE, g_y) = \
+                self._frame_fn(
+                    self.model.logE, self.model.y, state, t, camera, gt_image,
+                    self.scaling, self.pos_center,
+                    self.scene.get_opacity().reshape(-1),
+                    self.scene.get_features(),
+                )
+            if not bool(sim_ok):
+                # tiled-VJP engine overflowed its caps (dense scene or long
+                # drift): permanently fall back to the XLA fitting engine
+                # and re-run this frame
+                print(
+                    "fitting: tiled-VJP sim engine overflow — falling back "
+                    "to the XLA planes engine"
+                )
+                self._sim_engine = "xla"
+                self._frame_fn = None
+                continue
             self.n_dropped_last = int(n_dropped)
             if self.n_dropped_last == 0 or self._k_bumps >= self._max_cap_rebuilds:
                 break

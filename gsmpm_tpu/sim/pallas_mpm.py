@@ -401,3 +401,145 @@ def g2p_tiled_pallas(ts: TiledState, ext, grid: GridConfig,
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(ts.chunk_tile, ts.chunk_live, ts.q, ext)
+
+
+# ---------------------------------------------------------------------------
+# second-order basis reductions for the hand-written transfer VJPs
+# (sim/transfer_vjp.py): <win_c, d/dx_a {W, U^k, D^k}> per particle
+# ---------------------------------------------------------------------------
+
+def _axis_bases2_k(xrow, torg, inv_dx, g, S, dtype):
+    """_axis_bases_k plus the second-order bases ddw (piecewise-constant
+    spline second derivative {1,-2,1} inv_dx^2) and du = dw (k - fx) -
+    w inv_dx, all boundary-clamped."""
+    gp = xrow * inv_dx
+    basef = jnp.floor(gp - 0.5)
+    fx = gp - basef
+    basep = jnp.clip(basef, -1.0, g - 1.0) + PAD_LO
+    local = jnp.clip(basep - torg.astype(dtype), LOCAL_MIN, LOCAL_MAX)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, S), 0).astype(dtype)
+    k = slots - local
+    kf = k
+    w0 = 0.5 * (1.5 - fx) ** 2
+    w1 = 0.75 - (fx - 1.0) ** 2
+    w2 = 0.5 * (fx - 0.5) ** 2
+    is0 = k == 0.0
+    is1 = k == 1.0
+    is2 = k == 2.0
+    w = jnp.where(is0, w0, jnp.where(is1, w1, jnp.where(is2, w2, 0.0)))
+    d0 = (fx - 1.5) * inv_dx
+    d1 = -2.0 * (fx - 1.0) * inv_dx
+    d2 = (fx - 0.5) * inv_dx
+    dw = jnp.where(is0, d0, jnp.where(is1, d1, jnp.where(is2, d2, 0.0)))
+    dd = inv_dx * inv_dx
+    ddw = jnp.where(is0, dd, jnp.where(is1, -2.0 * dd,
+                                       jnp.where(is2, dd, 0.0)))
+    ddw = ddw * jnp.ones_like(w)
+    u = w * (kf - fx)
+    du = dw * (kf - fx) - w * inv_dx
+    return _clamp_bases(slots, torg, g, w, dw, u, ddw, du)
+
+
+def _sored_kernel(tile_ref, live_ref, q_ref, win_ref, out_ref,
+                  *, S, g, inv_dx, nt, ncomp):
+    c = pl.program_id(0)
+    dtype = q_ref.dtype
+    t = tile_ref[c]
+    tx = ((t // (nt * nt)) * T_TILE).astype(dtype)
+    ty = (((t // nt) % nt) * T_TILE).astype(dtype)
+    tz = ((t % nt) * T_TILE).astype(dtype)
+
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(live_ref[c] == 1)
+    def _():
+        wx, dwx, ux, ddx_, dux = _axis_bases2_k(
+            q_ref[RX:RX + 1], tx, inv_dx, g, S, dtype)
+        wy, dwy, uy, ddy_, duy = _axis_bases2_k(
+            q_ref[RX + 1:RX + 2], ty, inv_dx, g, S, dtype)
+        wz, dwz, uz, ddz_, duz = _axis_bases2_k(
+            q_ref[RX + 2:RX + 3], tz, inv_dx, g, S, dtype)
+
+        W = win_ref[0]  # (ncomp*16, 256)
+        dn = (((1,), (0,)), ((), ()))
+        pairs = {
+            "ww": _pair_bc(wy, wz), "dw": _pair_bc(dwy, wz),
+            "wd": _pair_bc(wy, dwz), "uw": _pair_bc(uy, wz),
+            "wu": _pair_bc(wy, uz), "Du": _pair_bc(duy, wz),
+            "ud": _pair_bc(uy, dwz), "du_": _pair_bc(dwy, uz),
+            "uD": _pair_bc(wy, duz), "ad": _pair_bc(ddy_, wz),
+            "dd": _pair_bc(dwy, dwz), "da": _pair_bc(wy, ddz_),
+        }
+        T = {k: _mm3(W, p, dn) for k, p in pairs.items()}  # (ncomp*16, S)
+
+        def red(xb, key, cc):
+            return jnp.sum(xb * T[key][16 * cc:16 * (cc + 1)], axis=0,
+                           keepdims=True)
+
+        # row layout per comp c (21 rows): dW[a] (3), dU[a][k] (9), dD[a][k]
+        for cc in range(ncomp):
+            base = cc * 21
+            out_ref[base + 0:base + 1] = red(dwx, "ww", cc)
+            out_ref[base + 1:base + 2] = red(wx, "dw", cc)
+            out_ref[base + 2:base + 3] = red(wx, "wd", cc)
+            dU = [
+                [red(dux, "ww", cc), red(dwx, "uw", cc), red(dwx, "wu", cc)],
+                [red(ux, "dw", cc), red(wx, "Du", cc), red(wx, "du_", cc)],
+                [red(ux, "wd", cc), red(wx, "ud", cc), red(wx, "uD", cc)],
+            ]  # dU[a?][k]: rows indexed [a][k] — see mapping below
+            # careful: table above is [row=a][col=k] with
+            # a=0: (du ww), (dwx uw), (dwx wu)
+            # a=1: (ux dw), (wx Du), (wx du_)
+            # a=2: (ux wd), (wx ud), (wx uD)
+            for a in range(3):
+                for k in range(3):
+                    out_ref[base + 3 + a * 3 + k:base + 4 + a * 3 + k] = \
+                        dU[a][k]
+            dD = [
+                [red(ddx_, "ww", cc), red(dwx, "dw", cc),
+                 red(dwx, "wd", cc)],
+                [red(dwx, "dw", cc), red(wx, "ad", cc), red(wx, "dd", cc)],
+                [red(dwx, "wd", cc), red(wx, "dd", cc), red(wx, "da", cc)],
+            ]
+            for a in range(3):
+                for k in range(3):
+                    out_ref[base + 12 + a * 3 + k:base + 13 + a * 3 + k] = \
+                        dD[a][k]
+
+
+def sored_tiled_pallas(q, win_planes, chunk_tile, chunk_live,
+                       grid: GridConfig, tc: TileConfig, ncomp: int = 3):
+    """Per-particle second-order reductions (see transfer_vjp._sored_chunk).
+
+    q (QROWS, NP); win_planes (ntiles, ncomp*16, 256) in the kernels'
+    (b,c,yl,zl) column order.  Returns (ncomp*21_pad, NP) rows:
+    comp c rows [21c, 21c+3) = <win_c, d_a W>, [21c+3+3a+k] = <win_c,
+    d_a U^k>, [21c+12+3a+k] = <win_c, d_a D^k>.
+    """
+    S = tc.S
+    nchunk = chunk_tile.shape[0]
+    nrows = ncomp * 21
+    nrows_pad = -(-nrows // 8) * 8
+
+    kernel = functools.partial(
+        _sored_kernel, S=S, g=float(tc.n_grid), inv_dx=float(grid.inv_dx),
+        nt=tc.nt, ncomp=ncomp,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((QROWS, S), lambda c, t, lv: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncomp * 16, 256), lambda c, t, lv: (t[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nrows_pad, S), lambda c, t, lv: (0, c),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrows_pad, q.shape[1]), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(chunk_tile, chunk_live, q, win_planes)

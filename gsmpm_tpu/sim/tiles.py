@@ -783,13 +783,22 @@ def substep_tiled_fitting(
     (solver.py:71-90), replacing the XLA scatter/gather adjoint whose
     index-bound transpose dominates the training step (BASELINE.md).
 
-    Bucketing is FIXED across the differentiated window (no mid-scan
-    rebucket): the permutation stays constant under jax.checkpoint, and a
-    particle drifting outside its tile's safe window sets need_rebucket so
-    the caller can redo the frame on the XLA path.
+    Rebucketing happens INSIDE the differentiated window exactly as in the
+    forward engine (a lax.cond on the drift flag): the rebucket is a
+    permutation — argsort indices are integer-valued, the payload moves by
+    gathers — so gradients flow through it; the impact phase of a fitting
+    frame drifts several cells over 30 substeps, which a fixed bucketing
+    cannot absorb.
     """
     from gsmpm_tpu.ops.constitutive import cauchy_stress_stvk_green_soa
 
+    def _rb(s):
+        s2 = rebucket(s, grid, tc)
+        # sticky: an earlier overflow (dropped particles) must not be
+        # masked by a later successful rebucket
+        return dataclasses.replace(s2, ok=s2.ok & s.ok)
+
+    ts = jax.lax.cond(ts.need_rebucket, _rb, lambda s: s, ts)
     q = ts.q
     F = tuple(q[RF + i] for i in range(9))
     stress = cauchy_stress_stvk_green_soa(F, ts.aux[AMU], ts.aux[ALAM])
@@ -797,7 +806,17 @@ def substep_tiled_fitting(
         jnp.stack(stress), jnp.zeros((16 - 9, q.shape[1]), q.dtype)
     ])
 
-    windows = p2g_tiled_ref(ts, sig, grid, tc, dt, chunk_impl=chunk_impl)
+    if chunk_impl == "vjp":
+        # hand-written transfer VJPs (sim/transfer_vjp.py): forward AND
+        # backward run the fused kernels (Pallas on TPU) — the r3 item-3
+        # adjoint tier
+        from gsmpm_tpu.sim.transfer_vjp import g2p_fit, p2g_fit
+
+        windows = p2g_fit(q, sig, ts.chunk_tile, ts.chunk_first,
+                          ts.chunk_live, grid, tc, dt)
+    else:
+        windows = p2g_tiled_ref(ts, sig, grid, tc, dt,
+                                chunk_impl=chunk_impl)
     acc = fold_windows(windows, tc)
     grid_v = grid_update_soa(
         acc[:, :, :, 0:T_TILE],
@@ -811,7 +830,14 @@ def substep_tiled_fitting(
 
     gvb = jnp.concatenate(grid_v, axis=3)
     win_in = extract_windows(gvb, tc)
-    new_q = g2p_tiled_ref(ts, win_in, grid, tc, dt, chunk_impl=chunk_impl)
+    if chunk_impl == "vjp":
+        from gsmpm_tpu.sim.transfer_vjp import g2p_fit
+
+        new_q = g2p_fit(ts.q, win_in, ts.chunk_tile, ts.chunk_first,
+                        ts.chunk_live, grid, tc, dt)
+    else:
+        new_q = g2p_tiled_ref(ts, win_in, grid, tc, dt,
+                              chunk_impl=chunk_impl)
     # fitting path advances F directly, no return map
     new_q = new_q.at[RF:RF + 9].set(new_q[RFT:RFT + 9])
 
@@ -828,6 +854,7 @@ def run_substeps_tiled_fitting(
     grid: GridConfig,
     dt: float,
     tc: Optional[TileConfig] = None,
+    chunk_impl: str = "mm",
 ):
     """Differentiable fitting window in the tiled layout.
 
@@ -847,13 +874,15 @@ def run_substeps_tiled_fitting(
 
     def body(carry, _):
         ts, t = carry
-        ts = substep_tiled_fitting(ts, model, bcs, t, grid, tc, dt)
+        ts = substep_tiled_fitting(ts, model, bcs, t, grid, tc, dt,
+                                   chunk_impl=chunk_impl)
         return (ts, t + dt), None
 
     body = jax.checkpoint(body)
     (ts, time), _ = jax.lax.scan(body, (ts0, time), None, length=n_substeps)
     q = to_original_order(ts, n)
-    ok = ts.ok & ~ts.need_rebucket
+    # mid-scan rebucketing absorbs drift; ok is the occupied-tile cap only
+    ok = ts.ok
     return unpack_q(q, soa), time, ok
 
 

@@ -94,17 +94,20 @@ def main():
                              checkpoint_policy="substep")
         return jnp.sum(st.x * st.x) + jnp.sum(st.F * st.F)
 
-    def loss_tiled(logE):
-        mu, lam = mu_lam_from_logE_y(logE, model.y)
-        m = dataclasses.replace(model, logE=logE, mu=mu, lam=lam)
-        soa, _, ok = run_substeps_tiled_fitting(
-            soa_from_state(state), m, bcs, jnp.float32(0.0), args.substeps,
-            grid, dt, tc=tc)
-        st = state_from_soa(soa)
-        return jnp.sum(st.x * st.x) + jnp.sum(st.F * st.F)
+    def make_loss_tiled(impl):
+        def loss_tiled(logE):
+            mu, lam = mu_lam_from_logE_y(logE, model.y)
+            m = dataclasses.replace(model, logE=logE, mu=mu, lam=lam)
+            soa, _, ok = run_substeps_tiled_fitting(
+                soa_from_state(state), m, bcs, jnp.float32(0.0),
+                args.substeps, grid, dt, tc=tc, chunk_impl=impl)
+            st = state_from_soa(soa)
+            return jnp.sum(st.x * st.x) + jnp.sum(st.F * st.F)
+        return loss_tiled
 
     g_xla = jax.jit(jax.grad(loss_xla))
-    g_tiled = jax.jit(jax.grad(loss_tiled))
+    g_tiled = jax.jit(jax.grad(make_loss_tiled("mm")))
+    g_vjp = jax.jit(jax.grad(make_loss_tiled("vjp")))
 
     t, _ = timeit(fwd_xla, model.logE)
     print(f"forward xla   : {t*1e3:8.1f} ms")
@@ -113,10 +116,15 @@ def main():
     t, gx = timeit(g_xla, model.logE)
     print(f"fwd+bwd xla   : {t*1e3:8.1f} ms")
     t, gt = timeit(g_tiled, model.logE)
-    print(f"fwd+bwd tiled : {t*1e3:8.1f} ms")
-    sx, st_ = float(jnp.sum(gx)), float(jnp.sum(gt))
-    print(f"grad sums xla={sx:.6e} tiled={st_:.6e} "
-          f"rel={abs(sx - st_) / max(abs(sx), 1e-12):.2e}")
+    print(f"fwd+bwd mm    : {t*1e3:8.1f} ms")
+    t, gv = timeit(g_vjp, model.logE)
+    print(f"fwd+bwd VJP   : {t*1e3:8.1f} ms  (pallas transfers both ways)")
+    sx, st_, sv = (float(jnp.sum(gx)), float(jnp.sum(gt)),
+                   float(jnp.sum(gv)))
+    print(f"grad sums xla={sx:.6e} mm={st_:.6e} vjp={sv:.6e}")
+    gx_n, gv_n = np.asarray(gx), np.asarray(gv)
+    print(f"per-particle |vjp - xla| max "
+          f"{np.abs(gv_n - gx_n).max():.3e} of {np.abs(gx_n).max():.3e}")
 
 
 if __name__ == "__main__":
