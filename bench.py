@@ -470,6 +470,10 @@ def main():
             "n_grid": args.n_grid,
             "res": args.res,
             "substeps_per_frame": args.substeps,
+            # methodology tag (ADVICE r4): since r4, MPM/render groups
+            # report best-of-N timing windows (throttle-robust on the
+            # shared tunnel); r1-r3 numbers were single-group means
+            "timing": "best_of_groups",
             **(
                 {"mpm_substeps_per_s_100grid": round(substeps_per_s_100, 2)}
                 if substeps_per_s_100 is not None else {}

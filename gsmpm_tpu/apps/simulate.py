@@ -290,6 +290,19 @@ def simulate(cfg: SimConfig, synthetic: Optional[int] = None,
             (state_u, model_u, t_sim), fid0, extra = restore_checkpoint(
                 ckpt_dir, (st_tpl, md_tpl, t_sim)
             )
+            # checkpoints written before the unpadded-template change (under
+            # --mesh data=N) stored PADDED particle arrays; restore is
+            # structure-only, so strip any stored padding down to the real
+            # particle count before re-padding for this launch (ADVICE r4)
+            n_stored = int(state_u.x.shape[0])
+            if n_stored > n_unpadded:
+                state_u, model_u = jax.tree.map(
+                    lambda l: l[:n_unpadded]
+                    if hasattr(l, "ndim") and l.ndim >= 1
+                    and l.shape[0] == n_stored
+                    else l,
+                    (state_u, model_u),
+                )
             if use_mesh:
                 from gsmpm_tpu.parallel import pad_particles as _pp
 

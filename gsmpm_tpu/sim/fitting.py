@@ -241,10 +241,18 @@ class SystemIdentifier:
         # pallas path: two-tier dense-block selection — keep k_tile for
         # every block and re-blend only the measured number of over-cap
         # tiles at the measured maximum (renderer._render_pallas_two_tier);
-        # XLA path (CPU) keeps uniform k_row/k_block caps
+        # XLA path (CPU) keeps uniform k_row/k_block caps.  n_dense is sized
+        # directly from the measured over-cap tile count (clamped only to
+        # the fine-tile total) so a scene with many dense tiles reaches a
+        # drop-free render in ONE rebuild instead of burning budget slots
+        # on the doubling fallback (ADVICE r4).
+        from gsmpm_tpu.render.renderer import block_origins
+
+        _, nbx, nby = block_origins(camera, cfg)
         new = cfg._replace(
             k_dense=up(cfg.k_dense, need["k_tile"]),
-            n_dense=max(cfg.n_dense, min(need["n_fine_over"] + 4, 64)),
+            n_dense=max(cfg.n_dense,
+                        min(need["n_fine_over"] + 4, nbx * nby)),
             k_coarse=up(cfg.k_coarse, need["k_coarse"]),
             k_global=up(cfg.k_global, need["k_global"]),
             k_row=up(cfg.k_row, need["k_row"]),
@@ -255,7 +263,7 @@ class SystemIdentifier:
             # sub-frame pose or count-vs-cap rounding): double as fallback
             new = cfg._replace(
                 k_dense=2 * max(cfg.k_dense, cfg.k_tile),
-                n_dense=min(2 * max(cfg.n_dense, 8), 169),
+                n_dense=min(2 * max(cfg.n_dense, 8), nbx * nby),
                 k_row=2 * cfg.k_row, k_block=2 * cfg.k_block,
             )
         print(
@@ -280,7 +288,13 @@ class SystemIdentifier:
                     jnp.asarray(self.pos_center),
                 )
             self.n_dropped_last = int(n_dropped)
-            if self.n_dropped_last == 0 or self._k_bumps >= self._max_cap_rebuilds:
+            if self.n_dropped_last == 0:
+                # the budget bounds CONSECUTIVE failed rebuilds, not total
+                # rebuilds per run: a drop-free frame restores it so later
+                # overflowing frames still get their resize (ADVICE r4)
+                self._k_bumps = 0
+                break
+            if self._k_bumps >= self._max_cap_rebuilds:
                 break
             # discard the biased update entirely; resize caps and re-run the
             # SAME frame from the original (logE, y, state, t)
@@ -391,7 +405,10 @@ class SystemIdentifier:
                 self._frame_fn = None
                 continue
             self.n_dropped_last = int(n_dropped)
-            if self.n_dropped_last == 0 or self._k_bumps >= self._max_cap_rebuilds:
+            if self.n_dropped_last == 0:
+                self._k_bumps = 0  # see _fit_frame_sharded: consecutive budget
+                break
+            if self._k_bumps >= self._max_cap_rebuilds:
                 break
             # drop-free or nothing: size the caps from the measured maxima at
             # the overflowing geometry, rebuild, and re-run the SAME frame —
@@ -498,7 +515,10 @@ class SystemIdentifier:
                 st, t, img, nd = gt_frame(st, t, cam)
                 frames.append(img)
                 total_dropped += int(nd)
-            if total_dropped == 0 or self._k_bumps >= self._max_cap_rebuilds:
+            if total_dropped == 0:
+                self._k_bumps = 0  # consecutive-failure budget (ADVICE r4)
+                break
+            if self._k_bumps >= self._max_cap_rebuilds:
                 break
             self._measure_and_bump(st, cameras[(n_frames - 1) % len(cameras)])
             self._frame_fn = None
