@@ -86,6 +86,20 @@ class RasterConfig(NamedTuple):
     # accounting".
     k_dense: int = 0
     n_dense: int = 16
+    # sorted-segment streaming rasterizer (render/stream_raster.py):
+    # drop-free at ANY density (one (tile|depth) 11-operand sort makes each
+    # tile's candidate list a contiguous depth-ordered segment; a
+    # chunk-major Pallas grid walks the segments — no nblocks x K gathers).
+    # stream_g2/g3/g4 are the per-tier gaussian budgets for splats whose
+    # screen rect spans >4 / >16 / >64 fine tiles (16 / 64 / nf emission
+    # corners each); overflow is counted in n_dropped and handled by the
+    # measured-resize machinery.  stream_unroll = chunks walked per grid
+    # step (amortizes per-step overhead).
+    stream: bool = False
+    stream_g2: int = 2048
+    stream_g3: int = 256
+    stream_g4: int = 32
+    stream_unroll: int = 8
 
 
 class Preprocessed(NamedTuple):
@@ -729,6 +743,68 @@ def required_raster_caps(
     }
 
 
+def bump_caps_for_dropfree(
+    cfg: RasterConfig,
+    means3d: jnp.ndarray,
+    cov6: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+) -> RasterConfig:
+    """Resize cfg so a re-render of THIS geometry is drop-free.
+
+    The app-level half of the measured-resize policy (the CUDA reference
+    renders uncapped every frame, /root/reference/main.py:148-156): stream
+    configs bump the tier gaussian budgets from required_stream_caps;
+    windowed configs bump the per-stream K caps (pallas two-tier) and the
+    XLA row/block caps from required_raster_caps.  Headroom +25-50%
+    rounded up so later frames rarely re-trigger.  Returns a cfg ``>=``
+    the input in every cap (idempotent at the measured geometry)."""
+    if cfg.stream:
+        from gsmpm_tpu.render.stream_raster import required_stream_caps
+
+        need = required_stream_caps(means3d, cov6, opacity, camera, cfg)
+
+        def upg(cur, needed, floor):
+            return max(cur, floor, -(-int(needed * 1.5) // 32) * 32)
+
+        new = cfg._replace(
+            stream_g2=upg(cfg.stream_g2, need["stream_g2"], 256),
+            stream_g3=upg(cfg.stream_g3, need["stream_g3"], 64),
+            stream_g4=upg(cfg.stream_g4, need["stream_g4"], 16),
+        )
+        if new == cfg:
+            # the overflow came from a mid-frame pose this end-of-frame
+            # measurement doesn't see: double as fallback
+            new = cfg._replace(
+                stream_g2=2 * cfg.stream_g2,
+                stream_g3=2 * cfg.stream_g3,
+                stream_g4=2 * cfg.stream_g4,
+            )
+        return new
+
+    need = required_raster_caps(means3d, cov6, opacity, camera, cfg)
+
+    def up(cur, needed):
+        return max(cur, -(-int(needed * 1.25) // 128) * 128)
+
+    _, nbx, nby = block_origins(camera, cfg)
+    new = cfg._replace(
+        k_dense=up(cfg.k_dense, need["k_tile"]),
+        n_dense=max(cfg.n_dense, min(need["n_fine_over"] + 4, nbx * nby)),
+        k_coarse=up(cfg.k_coarse, need["k_coarse"]),
+        k_global=up(cfg.k_global, need["k_global"]),
+        k_row=up(cfg.k_row, need["k_row"]),
+        k_block=up(cfg.k_block, need["k_block"]),
+    )
+    if new == cfg:  # measurement already fits: double as fallback
+        new = cfg._replace(
+            k_dense=2 * max(cfg.k_dense, cfg.k_tile),
+            n_dense=min(2 * max(cfg.n_dense, 8), nbx * nby),
+            k_row=2 * cfg.k_row, k_block=2 * cfg.k_block,
+        )
+    return new
+
+
 def _select_candidates_dupsort_v2(pre: Preprocessed, camera: Camera,
                                   cfg: RasterConfig,
                                   return_internals: bool = False):
@@ -990,6 +1066,10 @@ def _render_pallas_fwd_impl(pre: Preprocessed, camera, bg,
     packed-stream layout (candidate gather + kernel DMA proportional to the
     real candidate total instead of nblocks*K).
     """
+    if cfg.stream:
+        from gsmpm_tpu.render.stream_raster import render_stream
+
+        return render_stream(pre, camera, bg, cfg)
     if cfg.k_dense > 0:
         return _render_pallas_two_tier(pre, camera, bg, cfg)
     gidx, counts, origins, dropped = _select_candidates_dupsort_v2(

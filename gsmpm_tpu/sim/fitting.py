@@ -222,57 +222,36 @@ class SystemIdentifier:
         )
 
     def _measure_and_bump(self, state, camera: Camera) -> None:
-        """Resize the rasterizer caps from the measured per-stream maxima at
-        the dropped frame's end-of-frame geometry (the geometry the render
-        that overflowed actually saw), +25% headroom rounded to the 128-lane
-        multiple.  The measurement is exact for that frame, so the re-run is
-        drop-free; the headroom absorbs growth over later frames."""
-        from gsmpm_tpu.render.renderer import required_raster_caps
+        """Resize the rasterizer caps from the measured maxima at the
+        dropped frame's end-of-frame geometry (the geometry the render
+        that overflowed actually saw), +25-50% headroom.  Stream configs
+        bump the tier gaussian budgets; windowed configs bump the two-tier
+        K caps (pallas) and k_row/k_block (XLA on CPU) — the shared
+        renderer.bump_caps_for_dropfree policy (ADVICE r4 sized n_dense
+        from the measured over-cap tile count).  The measurement is exact
+        for that frame, so the re-run is drop-free; the headroom absorbs
+        growth over later frames."""
+        from gsmpm_tpu.render.renderer import bump_caps_for_dropfree
 
         xyz_w, cov_w = self._world_geometry(state)
         opacity, _ = self._padded_appearance()
-        need = required_raster_caps(xyz_w, cov_w, opacity, camera,
-                                    self.raster_cfg)
-
-        def up(cur, needed):
-            return max(cur, -(-int(needed * 1.25) // 128) * 128)
-
         cfg = self.raster_cfg
-        # pallas path: two-tier dense-block selection — keep k_tile for
-        # every block and re-blend only the measured number of over-cap
-        # tiles at the measured maximum (renderer._render_pallas_two_tier);
-        # XLA path (CPU) keeps uniform k_row/k_block caps.  n_dense is sized
-        # directly from the measured over-cap tile count (clamped only to
-        # the fine-tile total) so a scene with many dense tiles reaches a
-        # drop-free render in ONE rebuild instead of burning budget slots
-        # on the doubling fallback (ADVICE r4).
-        from gsmpm_tpu.render.renderer import block_origins
-
-        _, nbx, nby = block_origins(camera, cfg)
-        new = cfg._replace(
-            k_dense=up(cfg.k_dense, need["k_tile"]),
-            n_dense=max(cfg.n_dense,
-                        min(need["n_fine_over"] + 4, nbx * nby)),
-            k_coarse=up(cfg.k_coarse, need["k_coarse"]),
-            k_global=up(cfg.k_global, need["k_global"]),
-            k_row=up(cfg.k_row, need["k_row"]),
-            k_block=up(cfg.k_block, need["k_block"]),
-        )
-        if new == cfg:
-            # measured maxima already fit (the drop came from an earlier
-            # sub-frame pose or count-vs-cap rounding): double as fallback
-            new = cfg._replace(
-                k_dense=2 * max(cfg.k_dense, cfg.k_tile),
-                n_dense=min(2 * max(cfg.n_dense, 8), nbx * nby),
-                k_row=2 * cfg.k_row, k_block=2 * cfg.k_block,
+        new = bump_caps_for_dropfree(cfg, xyz_w, cov_w, opacity, camera)
+        if cfg.stream:
+            print(
+                "fitting: resizing rasterizer tier budgets for a drop-free "
+                f"render (g2/g3/g4 {cfg.stream_g2}/{cfg.stream_g3}/"
+                f"{cfg.stream_g4} -> {new.stream_g2}/{new.stream_g3}/"
+                f"{new.stream_g4}); re-running the frame"
             )
-        print(
-            "fitting: resizing rasterizer caps for a drop-free render "
-            f"(k_dense {cfg.k_dense}->{new.k_dense}, n_dense "
-            f"{cfg.n_dense}->{new.n_dense}, k_row {cfg.k_row}->"
-            f"{new.k_row}, k_block {cfg.k_block}->{new.k_block}); "
-            "re-running the frame"
-        )
+        else:
+            print(
+                "fitting: resizing rasterizer caps for a drop-free render "
+                f"(k_dense {cfg.k_dense}->{new.k_dense}, n_dense "
+                f"{cfg.n_dense}->{new.n_dense}, k_row {cfg.k_row}->"
+                f"{new.k_row}, k_block {cfg.k_block}->{new.k_block}); "
+                "re-running the frame"
+            )
         self.raster_cfg = new
         self._k_bumps += 1
 

@@ -156,6 +156,43 @@ def test_fitting_cap_resize_converges_to_drop_free():
     assert not ident._drop_warned  # no unresolved-drop warning
 
 
+
+def test_fitting_stream_budget_resize_converges_to_drop_free():
+    """Same policy through the STREAM rasterizer (interpret-mode pallas on
+    CPU): a tier-budget overflow during a fitting render resizes the
+    stream_g* budgets from the measured tier populations and re-runs the
+    frame drop-free (renderer.bump_caps_for_dropfree, stream branch)."""
+    import dataclasses as _dc
+
+    scene = synthetic_blob_scene(n=96, seed=7, radius=0.4,
+                                 center=(0.0, 0.8, 0.0))
+    # inflate a third of the splats so their rects span > 2x2 fine tiles
+    # (tier 2+): the blob's native splats are sub-pixel
+    scal = np.array(scene.scaling)
+    scal[::3] = np.log(0.25)
+    scene = _dc.replace(scene, scaling=jnp.asarray(scal))
+    cfg = MPMConfig(
+        material="jelly", E=3e4, nu=0.4, n_grid=32, grid_extent=2.0,
+        gravity=[0.0, -9.81, 0.0], fitting=True,
+    )
+    ident = SystemIdentifier(
+        scene, cfg, fit_cfg=FitConfig(substeps_per_frame=2),
+        # budgets of 1: the inflated splats overflow tier 2 immediately
+        raster_cfg=RasterConfig(block=32, chunk=32, impl="pallas",
+                                stream=True, stream_unroll=1,
+                                stream_g2=1, stream_g3=1, stream_g4=1),
+    )
+    cam = make_camera(128, 128, 0.7, 0.7, np.eye(3),
+                      np.array([0.0, 0.8, -3.0]))
+    gt = jnp.zeros((128, 128, 3), jnp.float32)
+    state = ident.reset_state()
+    g2_0 = ident.raster_cfg.stream_g2
+    loss, state, t, _ = ident.fit_frame(state, jnp.float32(0.0), cam, gt)
+    assert ident.n_dropped_last == 0  # the APPLIED step was drop-free
+    assert ident.raster_cfg.stream_g2 > g2_0  # a budget resize happened
+    assert ident._k_bumps == 0
+    assert not ident._drop_warned
+
 def test_required_raster_caps_sizes_drop_free_render():
     """required_raster_caps' measured maxima are exactly sufficient: a
     render at those caps reports n_dropped == 0, and halving the fine cap
