@@ -256,17 +256,31 @@ def identify(args):
                     grad_clip=fcfg.grad_clip, cam_axis="cam",
                     example_camera=cameras[0],
                     tie_params=fcfg.tie_params,
+                    sim_engine=getattr(ident, "_dp_sim_engine", "auto"),
                 )
             with mesh_obj:
-                loss, logE, y, state2, t2, n_dropped = dp_step(
+                loss, logE, y, state2, t2, n_dropped, sim_ok = dp_step(
                     ident.model.logE, ident.model.y, state, t, cams_b, gts,
                     ident.scene.get_opacity().reshape(-1),
                     ident.scene.get_features(),
                     jnp.asarray(ident.scaling), jnp.asarray(ident.pos_center),
                 )
+            if not bool(sim_ok):
+                # tiled-VJP engine overflow (occupied-tile cap / drift):
+                # permanently fall back to the XLA fitting engine and
+                # re-run this frame — same policy as fit_frame
+                print(
+                    "fitting: camera-DP tiled-VJP sim engine overflow — "
+                    "falling back to the XLA planes engine"
+                )
+                ident._dp_sim_engine = "xla"
+                dp_step = None
+                continue
             ident.n_dropped_last = int(n_dropped)
-            if (ident.n_dropped_last == 0
-                    or ident._k_bumps >= ident._max_cap_rebuilds):
+            if ident.n_dropped_last == 0:
+                ident._k_bumps = 0
+                break
+            if ident._k_bumps >= ident._max_cap_rebuilds:
                 break
             # same drop-free-or-nothing policy as fit_frame: resize caps from
             # the measured maxima, rebuild, re-run the SAME frame

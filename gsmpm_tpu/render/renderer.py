@@ -100,6 +100,7 @@ class RasterConfig(NamedTuple):
     stream_g3: int = 256
     stream_g4: int = 32
     stream_unroll: int = 8
+    stream_chunk: int = 128  # slots per walked chunk (128-lane multiple)
 
 
 class Preprocessed(NamedTuple):

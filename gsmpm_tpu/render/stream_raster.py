@@ -654,8 +654,8 @@ def render_stream(pre: Preprocessed, camera, bg, cfg):
         skeys, jnp.arange(nf + 1, dtype=jnp.int32) * M
     ).astype(jnp.int32)
 
-    C = _CHUNK if not _use_interpret() else max(
-        32, min(_CHUNK, cfg.chunk)
+    C = cfg.stream_chunk if not _use_interpret() else max(
+        32, min(cfg.stream_chunk, cfg.chunk)
     )
     U = cfg.stream_unroll
     UC = U * C

@@ -208,6 +208,7 @@ class SystemIdentifier:
             lr_logE=fcfg.lr_logE, lr_y=fcfg.lr_y, grad_clip=fcfg.grad_clip,
             data_axis=self.data_axis, tile_axis=self.tile_axis,
             tie_params=fcfg.tie_params, rcfg=self.raster_cfg,
+            sim_engine=getattr(self, "_sharded_sim_engine", "auto"),
         )
 
     def _world_geometry(self, state):
@@ -261,11 +262,24 @@ class SystemIdentifier:
             if getattr(self, "_sharded_fn", None) is None:
                 self._build_sharded_frame_fn(camera)
             with self.mesh:
-                (loss, logE, y, state2, t2, img, n_dropped) = self._sharded_fn(
-                    self.model.logE, self.model.y, state, t, gt_image, camera,
-                    opacity, features, jnp.asarray(self.scaling),
-                    jnp.asarray(self.pos_center),
+                (loss, logE, y, state2, t2, img, n_dropped, sim_ok) = (
+                    self._sharded_fn(
+                        self.model.logE, self.model.y, state, t, gt_image,
+                        camera, opacity, features,
+                        jnp.asarray(self.scaling),
+                        jnp.asarray(self.pos_center),
+                    )
                 )
+            if not bool(sim_ok):
+                # tiled-VJP engine overflow on some shard: permanently fall
+                # back to the XLA planes engine and re-run this frame
+                print(
+                    "fitting: sharded tiled-VJP sim engine overflow — "
+                    "falling back to the XLA planes engine"
+                )
+                self._sharded_sim_engine = "xla"
+                self._sharded_fn = None
+                continue
             self.n_dropped_last = int(n_dropped)
             if self.n_dropped_last == 0:
                 # the budget bounds CONSECUTIVE failed rebuilds, not total

@@ -767,6 +767,7 @@ def substep_tiled_fitting(
     tc: TileConfig,
     dt: float,
     chunk_impl: str = "mm",
+    axis_name=None,
 ) -> TiledState:
     """One DIFFERENTIABLE fitting substep in the tiled layout.
 
@@ -818,6 +819,13 @@ def substep_tiled_fitting(
         windows = p2g_tiled_ref(ts, sig, grid, tc, dt,
                                 chunk_impl=chunk_impl)
     acc = fold_windows(windows, tc)
+    if axis_name is not None:
+        # particle-sharded fitting (parallel/sharded.py): every device
+        # buckets its own particle shard over the FULL grid; the folded
+        # blocked grid psums across the data axis (the psum is linear, so
+        # jax.grad's transpose is the same psum — the adjoint stays on the
+        # fused kernels)
+        acc = jax.lax.psum(acc, axis_name)
     grid_v = grid_update_soa(
         acc[:, :, :, 0:T_TILE],
         (acc[:, :, :, T_TILE:2 * T_TILE],
@@ -855,6 +863,7 @@ def run_substeps_tiled_fitting(
     dt: float,
     tc: Optional[TileConfig] = None,
     chunk_impl: str = "mm",
+    axis_name=None,
 ):
     """Differentiable fitting window in the tiled layout.
 
@@ -875,7 +884,8 @@ def run_substeps_tiled_fitting(
     def body(carry, _):
         ts, t = carry
         ts = substep_tiled_fitting(ts, model, bcs, t, grid, tc, dt,
-                                   chunk_impl=chunk_impl)
+                                   chunk_impl=chunk_impl,
+                                   axis_name=axis_name)
         return (ts, t + dt), None
 
     body = jax.checkpoint(body)
