@@ -116,13 +116,16 @@ class MeshSimEngine:
         - CPU big grid: cell-granularity ``halo`` (XLA local compute).
         - always: ``psum`` as the unconditional fallback.
         """
-        if prefer in ("halo", "halo_tiled", "tiled", "psum"):
+        if prefer in ("halo", "halo_tiled", "halo_tiled2d", "tiled",
+                      "psum"):
             order = [prefer]
         elif jax.default_backend() == "tpu" and not self.incremental_cov:
-            order = (["halo_tiled", "tiled", "psum"]
+            # 2-D rectangles take over when x-only slabs don't fit (device
+            # count > nt/2, or a scene too narrow in x) — VERDICT r4 item 6
+            order = (["halo_tiled", "halo_tiled2d", "tiled", "psum"]
                      if self.grid.n_grid >= 96 else ["tiled", "psum"])
         elif self.grid.n_grid >= 64 and not self.incremental_cov:
-            order = ["halo", "psum"]
+            order = ["halo", "halo_tiled2d", "psum"]
         else:
             order = ["psum"]
 
@@ -149,6 +152,29 @@ class MeshSimEngine:
                     continue  # < 2 x-tiles per device / narrow scene
                 (self._ht_starts, self._ht_hc, self._ht_tc) = res
                 return "halo_tiled"
+            if name == "halo_tiled2d":
+                from gsmpm_tpu.parallel.halo_tiled2d import (
+                    quantile_tile_starts_2d,
+                )
+
+                ndev = self.mesh.shape[self.axis]
+                dy = _largest_divisor_leq(ndev, int(np.sqrt(ndev)))
+                dx = ndev // dy
+                if dx * dy != ndev or dy < 2 and ndev > 2:
+                    # a prime device count degenerates to 1-D; the 1-D
+                    # engine already declined, so fall through
+                    if dy == 1:
+                        continue
+                res = quantile_tile_starts_2d(
+                    np.asarray(state.x[:, :2]), self.grid.n_grid,
+                    self.grid.grid_extent, dx, dy,
+                )
+                if res is None:
+                    continue  # either axis too narrow
+                (self._ht2_txs, self._ht2_tys, self._ht2_hc,
+                 self._ht2_tc) = res
+                self._ht2_shape = (dx, dy)
+                return "halo_tiled2d"
             return name
         return "psum"
 
@@ -247,6 +273,56 @@ class MeshSimEngine:
         new_state, R = self._post(out)
         return new_state, t2, R
 
+    def _frame_halo_tiled2d(self, state, model, t):
+        from gsmpm_tpu.parallel.halo import original_view
+        from gsmpm_tpu.parallel.halo_tiled2d import (
+            bootstrap_slots_2d, make_halo_tiled2d_frame,
+        )
+        from gsmpm_tpu.sim.kernels import state_from_soa
+
+        dx, dy = self._ht2_shape
+        if getattr(self, "_halo_tiled2d", None) is None:
+            from jax.sharding import Mesh as _Mesh
+
+            mesh2 = _Mesh(
+                np.asarray(self.mesh.devices).reshape(dx, dy),
+                ("hx", "hy"),
+            )
+            me = _largest_divisor_leq(self.n_steps, 10)
+            fn = jax.jit(make_halo_tiled2d_frame(
+                mesh2, "hx", "hy", self.bcs, self.grid, self._ht2_hc,
+                self._ht2_tc, self.dt, self.n_steps, migrate_every=me,
+                impl="pallas" if jax.default_backend() == "tpu" else "ref",
+            ))
+            self._halo_tiled2d = [
+                fn, mesh2,
+                jnp.asarray(self._ht2_txs, jnp.int32),
+                jnp.asarray(self._ht2_tys, jnp.int32), None,
+            ]
+        fn, mesh2, txs_arr, tys_arr, carry = self._halo_tiled2d
+        if carry is None:
+            soa, aux, mat, orig, ok0 = bootstrap_slots_2d(
+                state, model, self._ht2_txs, self._ht2_tys, self.grid,
+                self._ht2_hc, dx, dy,
+            )
+            if not bool(ok0):
+                return None  # capacity overflow at bootstrap -> fallback
+            carry = (soa, aux, mat, orig)
+        soa, aux, mat, orig = carry
+        with mesh2:
+            soa, aux, mat, orig, full, t2, ok = fn(
+                soa, aux, mat, orig, txs_arr, tys_arr, model, t
+            )
+        if not bool(ok):
+            self._halo_tiled2d[4] = None
+            return None
+        self._halo_tiled2d[4] = (soa, aux, mat, orig)
+        n = state.x.shape[0]
+        out = state_from_soa(original_view(full, n))
+        out = dataclasses.replace(out, init_cov=state.init_cov)
+        new_state, R = self._post(out)
+        return new_state, t2, R
+
     def _frame_tiled(self, state, model, t):
         from gsmpm_tpu.parallel.tiled_sharded import (
             make_sharded_frame_tiled, sharded_tile_config,
@@ -305,6 +381,14 @@ class MeshSimEngine:
             if not self.quiet:
                 print("(halo_tiled engine drift/overflow: falling back to "
                       "the psum-sharded engine)")
+            self.engine = "psum"
+        elif self.engine == "halo_tiled2d":
+            out = self._frame_halo_tiled2d(state, model, t)
+            if out is not None:
+                return out
+            if not self.quiet:
+                print("(halo_tiled2d engine drift/overflow: falling back "
+                      "to the psum-sharded engine)")
             self.engine = "psum"
         elif self.engine == "tiled":
             out = self._frame_tiled(state, model, t)

@@ -139,6 +139,7 @@ def _device_of(xp, starts, grid: GridConfig, hc: HaloConfig):
 def partition_slots(
     soa: SoAState, aux: jnp.ndarray, material: jnp.ndarray,
     orig: jnp.ndarray, starts: jnp.ndarray, grid: GridConfig, hc: HaloConfig,
+    coord: int = 0,
 ):
     """Repartition arbitrary particle slots into per-device slab segments.
 
@@ -151,7 +152,7 @@ def partition_slots(
     n_slots = soa.mass.shape[0]
     live_in = orig >= 0
     dev = jnp.where(
-        live_in, _device_of(soa.x[0], starts, grid, hc), hc.ndev
+        live_in, _device_of(soa.x[coord], starts, grid, hc), hc.ndev
     )
     order = jnp.argsort(dev, stable=True)
     counts = jnp.sum(
@@ -176,10 +177,11 @@ def partition_slots(
     def take(plane, dead):
         return jnp.where(live, plane[src], dead)
 
-    x = (
-        jnp.where(live, soa.x[0][src], slab_mid),
-        take(soa.x[1], mid_yz),
-        take(soa.x[2], mid_yz),
+    # park dead slots at the slab center along the partition coordinate
+    x = tuple(
+        jnp.where(live, soa.x[c][src], slab_mid) if c == coord
+        else take(soa.x[c], mid_yz)
+        for c in range(3)
     )
     out = SoAState(
         x=x,
@@ -354,7 +356,8 @@ def _soa_spec(axis):
 # migration (module-level so the tiled-compute halo engine reuses it)
 # ---------------------------------------------------------------------------
 
-def migrate_gathered_slots(soa, aux, material, orig, starts, grid, hc, axis):
+def migrate_gathered_slots(soa, aux, material, orig, starts, grid, hc, axis,
+                           coord: int = 0):
     """Gathered repartition: all_gather every slot, re-partition, slice my
     segment.  O(N * ndev) bytes — the always-correct fallback."""
     i = jax.lax.axis_index(axis)
@@ -365,7 +368,7 @@ def migrate_gathered_slots(soa, aux, material, orig, starts, grid, hc, axis):
     mat_f = jax.lax.all_gather(material, axis, tiled=True)
     orig_f = jax.lax.all_gather(orig, axis, tiled=True)
     soa2, aux2, mat2, orig2, ok = partition_slots(
-        full, aux_f, mat_f, orig_f, starts, grid, hc
+        full, aux_f, mat_f, orig_f, starts, grid, hc, coord=coord
     )
     lo = i * hc.cap
 
@@ -377,7 +380,8 @@ def migrate_gathered_slots(soa, aux, material, orig, starts, grid, hc, axis):
             cut(mat2), cut(orig2), ok)
 
 
-def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis):
+def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis,
+                           coord: int = 0):
     """Neighbor-only emigrant exchange: ppermute bounded buffers left/right
     (O(mcap) bytes per boundary); margin-bounded drift means an emigrant's
     new owner is always a direct neighbor.  Overflow of a buffer or the
@@ -391,7 +395,7 @@ def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis):
     n_slots = hc.cap
     live = orig >= 0
     dev_new = jnp.where(
-        live, _device_of(soa.x[0], starts, grid, hc), i
+        live, _device_of(soa.x[coord], starts, grid, hc), i
     )
     go_l = live & (dev_new == i - 1)
     go_r = live & (dev_new == i + 1)
@@ -415,7 +419,7 @@ def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis):
     def do_gathered(args):
         soa, aux, material, orig = args
         return migrate_gathered_slots(
-            soa, aux, material, orig, starts, grid, hc, axis
+            soa, aux, material, orig, starts, grid, hc, axis, coord=coord
         )
 
     def do_neighbor(args):
@@ -434,11 +438,15 @@ def migrate_neighbor_slots(soa, aux, material, orig, starts, grid, hc, axis):
         recv_from_right = jax.lax.ppermute(buf_l, axis, perm_left)
         recv_from_left = jax.lax.ppermute(buf_r, axis, perm_right)
 
-        # kill emigrants: park dead at the slab center, mass 0
+        # kill emigrants: park dead at the slab center (along the
+        # partition coordinate), mass 0
         slab_mid = (x0 + x1).astype(jnp.float32) * 0.5 * grid.dx
         mid_yz = jnp.float32(0.5 * hc.n_grid * grid.dx)
+        park = tuple(
+            slab_mid if c == coord else mid_yz for c in range(3)
+        )
         dead = SoAState(
-            x=(slab_mid, mid_yz, mid_yz),
+            x=park,
             v=(0.0,) * 3, F=_DEAD_F, F_trial=_DEAD_F, C=(0.0,) * 9,
             vol=0.0, density=0.0, mass=0.0,
             init_cov=(0.0,) * 6, cov=(0.0,) * 6, yield_stress=0.0,

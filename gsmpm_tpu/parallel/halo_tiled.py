@@ -133,22 +133,27 @@ def quantile_tile_starts(
     return tuple(int(s) for s in starts), hc, tc
 
 
-def _exchange_accum_tiles(acc, t0, t1, axis_name: str, ndev: int):
-    """P2G phase: route boundary x-tile-slab CONTRIBUTIONS to their owner.
+def _exchange_accum_tiles(acc, t0, t1, axis_name: str, ndev: int,
+                          adim: int = 0):
+    """P2G phase: route boundary tile-slab CONTRIBUTIONS to their owner.
 
-    acc (T,T,T,32,64), axis 0 = padded x-tile.  Device i's particles (own
-    slab +- 1 tile of drift) contribute to padded x-tiles [t0-1, t1+1); the
-    W-wide slabs outside the owned range [t0, t1) go to the neighbors, who
-    add them in place (same protocol as halo.py:_exchange_accum, in tile
-    units on the blocked layout — no relayout, pure dynamic slices).
+    acc (T,T,T,32,64), axis ``adim`` = padded tile axis being decomposed
+    (0 = x, 1 = y).  Device i's particles (own slab +- 1 tile of drift)
+    contribute to padded tiles [t0-1, t1+1) along that axis; the W-wide
+    slabs outside the owned range [t0, t1) go to the neighbors, who add
+    them in place (same protocol as halo.py:_exchange_accum, in tile units
+    on the blocked layout — no relayout, pure dynamic slices).  The 2-D
+    decomposition (halo_tiled2d) runs this once per mesh axis: the x-pass
+    moves diagonal (corner) contributions into the correct x-range, the
+    y-pass finishes the job — exact because the accumulation is linear.
     """
-    T = acc.shape[0]
+    T = acc.shape[adim]
     i = jax.lax.axis_index(axis_name)
     left_out = jax.lax.dynamic_slice_in_dim(
-        acc, jnp.maximum(t0 - _W, 0), _W, axis=0
+        acc, jnp.maximum(t0 - _W, 0), _W, axis=adim
     )
     right_out = jax.lax.dynamic_slice_in_dim(
-        acc, jnp.minimum(t1, T - _W), _W, axis=0
+        acc, jnp.minimum(t1, T - _W), _W, axis=adim
     )
     from_right = jax.lax.ppermute(
         left_out, axis_name, [(d, d - 1) for d in range(1, ndev)]
@@ -160,37 +165,32 @@ def _exchange_accum_tiles(acc, t0, t1, axis_name: str, ndev: int):
     recv_r = jnp.where(i < ndev - 1, 1.0, 0.0)
 
     def dyn_add(arr, strip, start):
-        cur = jax.lax.dynamic_slice_in_dim(arr, start, _W, 0)
-        return jax.lax.dynamic_update_slice_in_dim(arr, cur + strip, start, 0)
+        cur = jax.lax.dynamic_slice_in_dim(arr, start, _W, adim)
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, cur + strip, start, adim
+        )
 
     acc = dyn_add(acc, from_left * recv_l, jnp.minimum(t0, T - _W))
     acc = dyn_add(acc, from_right * recv_r, jnp.maximum(t1 - _W, 0))
     return acc
 
 
-def _exchange_edges_tiles(grid_v, t0, t1, axis_name: str, ndev: int):
-    """G2P phase: mask non-owned x-tiles, fetch owner boundary velocities.
-
-    grid_v: 3 planes (T,T,T,8,64).  Each device zeroes x-tiles outside its
-    owned [t0, t1), then sends its owned edge slabs to the neighbors (adding
-    into zeroed tiles is a copy).
-    """
-    gv = jnp.stack(grid_v)  # (3,T,T,T,8,64)
-    T = gv.shape[1]
+def _fetch_edges_stacked(gv, t0, t1, axis_name: str, ndev: int,
+                         adim: int = 0):
+    """Send owned edge tile-slabs along one axis; neighbors add them in
+    (adding into zeroed non-owned tiles is a copy).  gv (3,T,T,T,8,64);
+    adim 0 = x tiles (array axis 1), 1 = y tiles (array axis 2).  In the
+    2-D decomposition the y-pass slab spans the full x-range, so velocity
+    tiles fetched during the x-pass ride through to diagonal neighbors."""
+    ax = 1 + adim
+    T = gv.shape[ax]
     i = jax.lax.axis_index(axis_name)
-    xt = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1, 1, 1, 1), 1)
-    # the LAST padded x-tile (index nt) still holds real cells [g-4, g)
-    # (padded coord = cell + PAD_LO), so the last device's ownership extends
-    # one tile past its slab end
-    t1_own = jnp.where(i == ndev - 1, t1 + 1, t1)
-    own = (xt >= t0) & (xt < t1_own)
-    gv = jnp.where(own, gv, 0.0)
 
     left_edge = jax.lax.dynamic_slice_in_dim(
-        gv, jnp.minimum(t0, T - _W), _W, axis=1
+        gv, jnp.minimum(t0, T - _W), _W, axis=ax
     )
     right_edge = jax.lax.dynamic_slice_in_dim(
-        gv, jnp.maximum(t1 - _W, 0), _W, axis=1
+        gv, jnp.maximum(t1 - _W, 0), _W, axis=ax
     )
     from_right = jax.lax.ppermute(
         left_edge, axis_name, [(d, d - 1) for d in range(1, ndev)]
@@ -202,11 +202,41 @@ def _exchange_edges_tiles(grid_v, t0, t1, axis_name: str, ndev: int):
     recv_r = jnp.where(i < ndev - 1, 1.0, 0.0)
 
     def dyn_add(arr, strip, start):
-        cur = jax.lax.dynamic_slice_in_dim(arr, start, _W, 1)
-        return jax.lax.dynamic_update_slice_in_dim(arr, cur + strip, start, 1)
+        cur = jax.lax.dynamic_slice_in_dim(arr, start, _W, ax)
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, cur + strip, start, ax
+        )
 
     gv = dyn_add(gv, from_left * recv_l, jnp.maximum(t0 - _W, 0))
     gv = dyn_add(gv, from_right * recv_r, jnp.minimum(t1, T - _W))
+    return gv
+
+
+def _own_mask_stacked(gv, t0, t1, axis_name: str, ndev: int, adim: int = 0):
+    """Ownership predicate along one tile axis on the stacked (3,T,...)
+    velocity planes.  The LAST padded tile (index nt) still holds real
+    cells [g-4, g) (padded coord = cell + PAD_LO), so the last device's
+    ownership extends one tile past its slab end."""
+    ax = 1 + adim
+    T = gv.shape[ax]
+    shape = [1] * gv.ndim
+    shape[ax] = T
+    xt = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), ax)
+    i = jax.lax.axis_index(axis_name)
+    t1_own = jnp.where(i == ndev - 1, t1 + 1, t1)
+    return (xt >= t0) & (xt < t1_own)
+
+
+def _exchange_edges_tiles(grid_v, t0, t1, axis_name: str, ndev: int):
+    """G2P phase: mask non-owned x-tiles, fetch owner boundary velocities.
+
+    grid_v: 3 planes (T,T,T,8,64).  Each device zeroes x-tiles outside its
+    owned [t0, t1), then sends its owned edge slabs to the neighbors.
+    """
+    gv = jnp.stack(grid_v)  # (3,T,T,T,8,64)
+    own = _own_mask_stacked(gv, t0, t1, axis_name, ndev, 0)
+    gv = jnp.where(own, gv, 0.0)
+    gv = _fetch_edges_stacked(gv, t0, t1, axis_name, ndev, 0)
     return tuple(gv[r] for r in range(3))
 
 

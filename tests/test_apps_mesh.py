@@ -86,6 +86,43 @@ def test_simulate_app_mesh_halo_engine_big_grid(tmp_path):
         assert np.mean(np.abs(fm.astype(np.float64) - fs)) < 2e-4
 
 
+def test_simulate_app_mesh_halo_tiled2d_engine(tmp_path):
+    """--mesh engine=halo_tiled2d (4x2 rectangle decomposition) through the
+    app door matches the single-device run (VERDICT r4 item 6).  A 64^3
+    grid has only 8 x-tiles, so a 1-D 8-way slab split is impossible —
+    exactly the shape the 2-D engine exists for."""
+    from gsmpm_tpu.apps.simulate import simulate
+    from gsmpm_tpu.parallel import engines
+
+    picked = []
+    orig_frame = engines.MeshSimEngine.frame
+
+    def spy(self, state, model, t):
+        picked.append(self.engine)
+        return orig_frame(self, state, model, t)
+
+    engines.MeshSimEngine.frame = spy
+    try:
+        cfg_a = _tiny_cfg(tmp_path / "single", n_grid=64, frames=2)
+        frames_single = simulate(
+            cfg_a, synthetic=512, frames=2, quiet=True, mesh="none",
+            synthetic_res=64,
+        )
+        cfg_b = _tiny_cfg(tmp_path / "mesh", n_grid=64, frames=2)
+        frames_mesh = simulate(
+            cfg_b, synthetic=512, frames=2, quiet=True,
+            mesh="auto,engine=halo_tiled2d", synthetic_res=64,
+        )
+    finally:
+        engines.MeshSimEngine.frame = orig_frame
+    # the engine must have run AND STAYED 2-D for both frames (a frame-1
+    # bootstrap overflow would flip the SECOND frame's entry to psum)
+    assert picked == ["halo_tiled2d", "halo_tiled2d"], picked
+    for fs, fm in zip(frames_single, frames_mesh):
+        np.testing.assert_allclose(fm, fs, atol=2e-2)
+        assert np.mean(np.abs(fm.astype(np.float64) - fs)) < 2e-4
+
+
 def test_identify_app_mesh_sharded_fit(monkeypatch, tmp_path):
     """apps/identify.py --mesh auto routes fit_frame through the sharded
     step and still recovers: loss finite, E moves from its init."""
