@@ -213,21 +213,42 @@ def bench_render_dropfree(scene, state, camera, scaling, pos_center, cfg,
     xyz_w, cov_w = grid2world(
         state.x, state.cov, scaling, pos_center, cfg.grid_extent
     )
-    need = required_raster_caps(xyz_w, cov_w, opacity, camera, RasterConfig())
+    if jax.default_backend() == "tpu":
+        # round-5 production selection: the sorted-segment STREAMING
+        # rasterizer (render/stream_raster.py) — no per-tile K caps, so
+        # drop-free at any density; only the (small) tier budgets for
+        # large splats are sized from the measured populations
+        from gsmpm_tpu.render.stream_raster import required_stream_caps
 
-    def up(needed):
-        return max(128, -(-int(needed * 1.25) // 128) * 128)
+        scfg = RasterConfig(stream=True, stream_unroll=4)
+        sneed = required_stream_caps(xyz_w, cov_w, opacity, camera, scfg)
 
-    # two-tier drop-free config: every block keeps the default k_tile; only
-    # the measured number of over-cap tiles (+margin) is re-blended at the
-    # measured maximum — the nblocks x K window/gather cost stays at the
-    # default K for 90%+ of blocks (renderer._render_pallas_two_tier)
-    rcfg = RasterConfig()._replace(
-        k_dense=up(need["k_tile"]),
-        n_dense=min(max(need["n_fine_over"] + 4, 8), 64),
-        k_coarse=up(need["k_coarse"]),
-        k_global=up(need["k_global"]),
-    )
+        def upg(cur, needed, floor):
+            return max(cur, floor, -(-int(needed * 1.5) // 32) * 32)
+
+        rcfg = scfg._replace(
+            stream_g2=upg(scfg.stream_g2, sneed["stream_g2"], 256),
+            stream_g3=upg(scfg.stream_g3, sneed["stream_g3"], 64),
+            stream_g4=upg(scfg.stream_g4, sneed["stream_g4"], 16),
+        )
+    else:
+        need = required_raster_caps(
+            xyz_w, cov_w, opacity, camera, RasterConfig()
+        )
+
+        def up(needed):
+            return max(128, -(-int(needed * 1.25) // 128) * 128)
+
+        # two-tier drop-free config (the pre-stream path, kept for CPU
+        # smoke runs): every block keeps the default k_tile; only the
+        # measured number of over-cap tiles is re-blended at the measured
+        # maximum (renderer._render_pallas_two_tier)
+        rcfg = RasterConfig()._replace(
+            k_dense=up(need["k_tile"]),
+            n_dense=min(max(need["n_fine_over"] + 4, 8), 64),
+            k_coarse=up(need["k_coarse"]),
+            k_global=up(need["k_global"]),
+        )
 
     @jax.jit
     def frame(xyz_g, cov_g, opacity, features):
@@ -312,15 +333,17 @@ def bench_fit(n_particles: int, res: int, substeps: int, n_reps: int):
         f"after {ident._k_bumps} cap rebuilds"
     )
     assert np.isfinite(float(loss)), "fit bench produced non-finite loss"
-    for _attempt in range(2):
-        k0 = ident._k_bumps
+    for _attempt in range(3):
+        k0 = ident._total_rebuilds
         t0 = time.perf_counter()
         for _ in range(n_reps):
             loss, state, t, img = ident.fit_frame(state, t, cam, gt)
         np.asarray(img.ravel()[0])  # host-forced completion
         dt_wall = time.perf_counter() - t0
-        if ident._k_bumps == k0:
+        if ident._total_rebuilds == k0:
             break  # no cap rebuild (recompile) polluted the timed region
+        # (_k_bumps resets on every drop-free frame since r5, so the
+        # monotonic counter is the reliable recompile detector)
     assert np.isfinite(float(loss)), "fit bench diverged"
     assert ident.n_dropped_last == 0, "fit bench dropped candidates mid-timing"
     return dt_wall / n_reps, int(ident.n_dropped_last)

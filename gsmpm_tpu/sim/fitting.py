@@ -154,7 +154,8 @@ class SystemIdentifier:
         # no biased gradient is ever applied (VERDICT r3 item 1)
         self.n_dropped_last = 0
         self._drop_warned = False
-        self._k_bumps = 0
+        self._k_bumps = 0  # CONSECUTIVE failed rebuilds (resets on success)
+        self._total_rebuilds = 0  # monotonic (bench recompile detection)
         self._max_cap_rebuilds = 6
 
     # --- setup per optimization iteration (parity extra.py:177-190) ---
@@ -255,6 +256,7 @@ class SystemIdentifier:
             )
         self.raster_cfg = new
         self._k_bumps += 1
+        self._total_rebuilds += 1
 
     def _fit_frame_sharded(self, state, t, camera: Camera, gt_image):
         opacity, features = self._padded_appearance()
