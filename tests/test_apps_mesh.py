@@ -16,6 +16,11 @@ import pytest
 from gsmpm_tpu.config import MPMConfig, RenderConfig, SimConfig
 
 
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _tiny_cfg(tmp_path, n_grid=24, frames=2):
     cfg = SimConfig()
     cfg.mpm = MPMConfig(

@@ -14,6 +14,13 @@ from gsmpm_tpu.render.renderer import RasterConfig
 from gsmpm_tpu.sim.fitting import FitConfig, SystemIdentifier, sgd_learn
 
 
+import pytest
+
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _identifier(n=192, substeps=5, res=32, E_init=3e4):
     scene = synthetic_blob_scene(n=n, seed=3, radius=0.4, center=(0.0, 0.8, 0.0))
     # E capped so the coarse test dt (frame_dt/substeps) stays CFL-stable

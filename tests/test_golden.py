@@ -46,6 +46,11 @@ from gsmpm_tpu.sim.state import GridConfig, init_model, init_state
 from gsmpm_tpu.sim.tiles import run_substeps_tiled
 
 
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _make(xyz, v0, cfg, vol=1e-6):
     n = xyz.shape[0]
     cov = np.tile(np.array([1e-6, 0, 0, 1e-6, 0, 1e-6], np.float32), (n, 1))

@@ -30,6 +30,13 @@ _C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
        -1.0925484305920792, 0.5462742152960396]
 
 
+import pytest
+
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _hand_camera():
     """Known camera, matrices built by hand in float64."""
     W, H = 64, 48

@@ -29,6 +29,11 @@ from gsmpm_tpu.sim.state import GridConfig, init_model, init_state
 from gsmpm_tpu.sim.volume import particle_volume
 
 
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _problem(n=4096, n_grid=64, seed=0):
     rng = np.random.default_rng(seed)
     cfg = MPMConfig(

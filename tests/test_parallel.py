@@ -35,6 +35,11 @@ N_PART = 512
 N_SUB = 5
 
 
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def small_setup(fitting=False):
     cfg = MPMConfig(
         E=2e4, nu=0.3, material="jelly", n_grid=16, grid_extent=2.0,

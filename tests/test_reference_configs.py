@@ -21,6 +21,11 @@ from gsmpm_tpu.sim.volume import particle_volume
 CONFIGS = sorted(glob.glob("/root/reference/configs/*.json"))
 
 
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
 def test_reference_config_runs(path):
     cfg = SimConfig.from_json(path)

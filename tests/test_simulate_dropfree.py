@@ -11,6 +11,13 @@ import numpy as np
 from gsmpm_tpu.config import SimConfig
 
 
+import pytest
+
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def test_simulate_resizes_caps_to_dropfree(tmp_path, capsys):
     from gsmpm_tpu.apps.simulate import simulate
 

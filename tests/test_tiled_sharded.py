@@ -19,6 +19,13 @@ from gsmpm_tpu.sim.volume import particle_volume
 from jax.sharding import Mesh
 
 
+import pytest
+
+# quick-tier CI runs `-m "not slow"` (README); the full suite stays
+# the release gate
+pytestmark = pytest.mark.slow
+
+
 def _setup(n=800, g=16, seed=4):
     cfg = MPMConfig(
         E=2e4, nu=0.3, material="jelly", n_grid=g, grid_extent=2.0,
